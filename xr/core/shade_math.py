@@ -1,0 +1,251 @@
+"""Shared shading formulas — lighting, texture sampling, shadow test.
+
+These are the reference's HLSL pixel/vertex-shader bodies (SURVEY.md §2.1
+"Vertex stage"/"Pixel stage") as vectorized array math. Written once against
+``xp`` (numpy or jax.numpy) so the CPU oracle and the TPU pipeline shade with
+IDENTICAL formulas (SURVEY.md §7.3.3): any remaining cross-backend diff is
+sub-ULP transcendental noise, absorbed by the 8-bit golden tolerance.
+
+All color math is float32 in [0,1]-ish linear space; resolve clamps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Lighting
+# ---------------------------------------------------------------------------
+
+
+def lambert(normal, light_dir, xp=np):
+    """Diffuse factor for a directional light. `light_dir` is the direction
+    the light TRAVELS; shading uses -light_dir."""
+    return xp.maximum(-xp.sum(normal * light_dir, axis=-1), 0.0)
+
+
+def shade_vertex_lit(normal, base_color, kd, lights, xp=np):
+    """Per-vertex Gouraud color: ambient + sum of directional diffuse.
+
+    normal (N,3), base_color (N,3), kd (N,), lights: Lights pytree.
+    Returns (N,3). Used for MODE_GOURAUD and the lit tint of MODE_TEXTURED.
+    """
+    col = lights.ambient[None, :] * base_color
+    ld = lights.dir_dirs  # (L,3)
+    if ld.shape[0]:
+        # (N,L) diffuse factors
+        nl = xp.maximum(-(normal @ ld.T), 0.0)
+        col = col + kd[:, None] * base_color * (nl @ lights.dir_colors)
+    return col.astype(xp.float32)
+
+
+def shade_flat_face(face_normal, base_color, kd, lights, xp=np):
+    """Per-face flat color (config 1, BASELINE.json:7): same lighting model
+    as Gouraud but evaluated once per triangle with the geometric normal."""
+    return shade_vertex_lit(face_normal, base_color, kd, lights, xp)
+
+
+def shade_phong(
+    world_pos,
+    normal,
+    view_pos,
+    base_color,
+    ka,
+    kd,
+    ks,
+    shininess,
+    lights,
+    shadow_factor=None,
+    xp=np,
+):
+    """Blinn-Phong with multiple directional + point lights (config 4,
+    BASELINE.json:10). All per-pixel args are (..., 3) / (...,).
+
+    shadow_factor: optional (...,) multiplier applied to light 0's
+    (directional) contribution — the shadow-map test result.
+    """
+    n = normal
+    v = view_pos - world_pos
+    v = v / xp.maximum(xp.sqrt(xp.sum(v * v, axis=-1, keepdims=True)), 1e-12)
+
+    col = ka[..., None] * lights.ambient * base_color
+
+    def one_light(l_vec, l_color, att, shadowed):
+        # l_vec: direction from surface TOWARD the light, unnormalized ok
+        l = l_vec / xp.maximum(
+            xp.sqrt(xp.sum(l_vec * l_vec, axis=-1, keepdims=True)), 1e-12
+        )
+        ndl = xp.maximum(xp.sum(n * l, axis=-1), 0.0)
+        h = l + v
+        h = h / xp.maximum(xp.sqrt(xp.sum(h * h, axis=-1, keepdims=True)), 1e-12)
+        ndh = xp.maximum(xp.sum(n * h, axis=-1), 0.0)
+        spec = xp.where(ndl > 0.0, ndh**shininess, 0.0)
+        c = (kd[..., None] * base_color * ndl[..., None] + (ks * spec)[..., None]) * l_color
+        c = c * att[..., None]
+        if shadowed is not None:
+            c = c * shadowed[..., None]
+        return c
+
+    out = col
+    nd = lights.dir_dirs.shape[0]
+    for i in range(nd):
+        l_vec = xp.broadcast_to(-lights.dir_dirs[i], world_pos.shape).astype(xp.float32)
+        att = xp.ones(world_pos.shape[:-1], xp.float32)
+        sf = shadow_factor if i == 0 else None
+        out = out + one_light(l_vec, lights.dir_colors[i], att, sf)
+    for i in range(lights.pt_pos.shape[0]):
+        l_vec = lights.pt_pos[i] - world_pos
+        d2 = xp.sum(l_vec * l_vec, axis=-1)
+        att = 1.0 / (1.0 + 0.05 * d2)
+        out = out + one_light(l_vec, lights.pt_colors[i], att, None)
+    return out.astype(xp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Texture sampling (flattened mip pyramid; see types.TexturePyramid)
+# ---------------------------------------------------------------------------
+
+
+def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size: int, xp=np):
+    """Mip LOD from screen-space uv derivatives (per pixel), texels/pixel.
+
+    lod = 0.5 * log2(max(|d(uv*S)/dx|^2, |d(uv*S)/dy|^2)) — the standard
+    GPU footprint rule with the max-axis metric.
+    """
+    s = float(base_size)
+    rx = (dudx * s) ** 2 + (dvdx * s) ** 2
+    ry = (dudy * s) ** 2 + (dvdy * s) ** 2
+    rho2 = xp.maximum(xp.maximum(rx, ry), 1e-12)
+    return (0.5 * (xp.log(rho2) * (1.0 / np.log(2.0)))).astype(xp.float32)
+
+
+def _bilinear_at_level(pyr_data, tex_id, u, v, size: int, offset: int, xp=np):
+    """Bilinear sample at one mip level. pyr_data (Ntex, P, 3); u,v wrapped
+    [0,1); returns (..., 3)."""
+    s = size
+    tu = u * s - 0.5
+    tv = v * s - 0.5
+    i0 = xp.floor(tu)
+    j0 = xp.floor(tv)
+    fu = (tu - i0).astype(xp.float32)
+    fv = (tv - j0).astype(xp.float32)
+    i0 = i0.astype(xp.int32)
+    j0 = j0.astype(xp.int32)
+    # wrap (repeat); s is a power of two so bitwise-and works and is cheap
+    m = s - 1
+    i0w, i1w = i0 & m, (i0 + 1) & m
+    j0w, j1w = j0 & m, (j0 + 1) & m
+
+    def texel(jj, ii):
+        flat = offset + jj * s + ii
+        return pyr_data[tex_id, flat]  # (..., 3) gather
+
+    t00 = texel(j0w, i0w)
+    t01 = texel(j0w, i1w)
+    t10 = texel(j1w, i0w)
+    t11 = texel(j1w, i1w)
+    top = t00 + (t01 - t00) * fu[..., None]
+    bot = t10 + (t11 - t10) * fu[..., None]
+    return top + (bot - top) * fv[..., None]
+
+
+def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
+    """Perspective-correct trilinear texture sample.
+
+    pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
+    repeat-wrapped); lod (...,) f32. Returns (..., 3) f32.
+
+    Implementation: sample BOTH bracketing mip levels for every pixel by
+    gathering from the flattened pyramid with per-pixel level offsets. The
+    level tables are tiny static arrays; everything else is gathers + lerps
+    (BASELINE.json:5 "vectorized gathers with mip selection").
+    """
+    L = pyramid.num_levels
+    base = pyramid.base_size
+    u = u - xp.floor(u)
+    v = v - xp.floor(v)
+
+    lf = xp.clip(lod, 0.0, float(L - 1))
+    l0 = xp.floor(lf)
+    frac = (lf - l0).astype(xp.float32)
+    l0 = l0.astype(xp.int32)
+    l1 = xp.minimum(l0 + 1, L - 1)
+
+    sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)
+    offsets = xp.asarray([pyramid.level_offset(k) for k in range(L)], xp.int32)
+
+    def sample_level(lk):
+        s = sizes[lk]  # (...,) i32 per-pixel level size
+        off = offsets[lk]
+        sf = s.astype(xp.float32)
+        tu = u * sf - 0.5
+        tv = v * sf - 0.5
+        i0 = xp.floor(tu)
+        j0 = xp.floor(tv)
+        fu = (tu - i0).astype(xp.float32)
+        fv = (tv - j0).astype(xp.float32)
+        i0 = i0.astype(xp.int32)
+        j0 = j0.astype(xp.int32)
+        m = s - 1
+        i0w, i1w = i0 & m, (i0 + 1) & m
+        j0w, j1w = j0 & m, (j0 + 1) & m
+
+        def texel(jj, ii):
+            return pyramid.data[tex_id, off + jj * s + ii]
+
+        t00 = texel(j0w, i0w)
+        t01 = texel(j0w, i1w)
+        t10 = texel(j1w, i0w)
+        t11 = texel(j1w, i1w)
+        top = t00 + (t01 - t00) * fu[..., None]
+        bot = t10 + (t11 - t10) * fu[..., None]
+        return top + (bot - top) * fv[..., None]
+
+    c0 = sample_level(l0)
+    c1 = sample_level(l1)
+    return (c0 + (c1 - c0) * frac[..., None]).astype(xp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Shadow-map test
+# ---------------------------------------------------------------------------
+
+
+def shadow_test(shadow_depth, world_pos, light_viewproj, bias, xp=np):
+    """1.0 where lit, 0.0 where in shadow (nearest-sample compare).
+
+    shadow_depth: (Hs, Ws) f32 depth map rendered from the light (depth-only
+    pass, config 4 two-pass frame, BASELINE.json:10). world_pos (..., 3).
+    """
+    hs, ws = shadow_depth.shape
+    n = world_pos.shape[:-1]
+    p4 = xp.concatenate(
+        [world_pos, xp.ones(n + (1,), xp.float32)], axis=-1
+    )
+    clip = p4 @ light_viewproj.T
+    w = xp.maximum(clip[..., 3], 1e-12)
+    ndc_x = clip[..., 0] / w
+    ndc_y = clip[..., 1] / w
+    z = clip[..., 2] / w
+    sx = (ndc_x * 0.5 + 0.5) * ws
+    sy = (0.5 - ndc_y * 0.5) * hs
+    ix = xp.clip(xp.floor(sx).astype(xp.int32), 0, ws - 1)
+    iy = xp.clip(xp.floor(sy).astype(xp.int32), 0, hs - 1)
+    d = shadow_depth[iy, ix]
+    inside = (
+        (ndc_x >= -1.0) & (ndc_x <= 1.0) & (ndc_y >= -1.0) & (ndc_y <= 1.0)
+        & (z >= 0.0) & (z <= 1.0)
+    )
+    lit = xp.where(inside & (z - bias > d), 0.0, 1.0)
+    return lit.astype(xp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Resolve
+# ---------------------------------------------------------------------------
+
+
+def resolve_u8(color_f32, xp=np):
+    """Linear f32 color -> u8 with round-half-up; identical on both sides."""
+    c = xp.clip(color_f32, 0.0, 1.0)
+    return xp.floor(c * 255.0 + 0.5).astype(xp.uint8)

@@ -1,0 +1,299 @@
+"""Core data types for the xr renderer.
+
+Scene/camera/material live as pytrees so the whole frame is one traced XLA
+program (BASELINE.json:5 "scene/camera/material API and per-frame step
+semantics"); ``RenderConfig`` is the pipeline-state object of the reference's
+builder-style ``GraphicsPipeline::Info`` (SURVEY.md §2.1 "Pipeline state"):
+a frozen hashable dataclass passed as a static jit argument, so each distinct
+config compiles to its own executable (the XLA executable *is* the PSO).
+
+All array leaves may be numpy (CPU oracle) or jax arrays (device pipeline);
+the structs are array-library agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import numpy as np
+from flax import struct
+
+# ---------------------------------------------------------------------------
+# Shading modes (the reference's shading levels: BASELINE.json:5
+# "flat/Gouraud/textured shading levels", plus Phong+shadow for config 4 and
+# a depth-only mode for the shadow pass, BASELINE.json:10).
+# ---------------------------------------------------------------------------
+MODE_FLAT = 0
+MODE_GOURAUD = 1
+MODE_TEXTURED = 2
+MODE_PHONG = 3
+MODE_DEPTH_ONLY = 4
+
+MODE_NAMES = {
+    MODE_FLAT: "flat",
+    MODE_GOURAUD: "gouraud",
+    MODE_TEXTURED: "textured",
+    MODE_PHONG: "phong",
+    MODE_DEPTH_ONLY: "depth_only",
+}
+
+# Per-vertex attribute widths carried through clipping/interpolation per mode.
+#   flat:      none (face color is a per-triangle payload)
+#   gouraud:   lit rgb (3)
+#   textured:  uv (2) + lit rgb (3)
+#   phong:     world pos (3) + world normal (3) + uv (2)
+#   depth:     none
+MODE_ATTR_WIDTH = {
+    MODE_FLAT: 0,
+    MODE_GOURAUD: 3,
+    MODE_TEXTURED: 5,
+    MODE_PHONG: 8,
+    MODE_DEPTH_ONLY: 0,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static pipeline state. Hashable; passed as a jit static arg.
+
+    Mirrors the role of the reference's pipeline-info struct (SURVEY.md §5.6):
+    every distinct value compiles one XLA executable.
+    """
+
+    width: int = 512
+    height: int = 512
+    mode: int = MODE_FLAT
+    depth_test: bool = True
+    cull_backfaces: bool = True
+
+    # Fixed-point raster precision: snap screen coords to 1/2**subpixel_bits
+    # pixel. int32 edge functions must not overflow:
+    #   (max_fixed_coord_span)^2 * 2 < 2^31  (see xr/core/fixedpoint.py).
+    subpixel_bits: int = 2
+
+    # Guard band in NDC units: clip x,y against |ndc| <= guard_band so
+    # post-clip screen coordinates stay bounded for exact int32 raster.
+    guard_band: float = 3.0
+
+    # Post-clip triangle capacity = ceil(num_tris * clip_expand) + 64.
+    clip_expand: float = 1.25
+
+    # Screen-tile binning (0 => brute force over all triangles, no binning).
+    tile_h: int = 64
+    tile_w: int = 128
+    bin_capacity: int = 256  # max triangles binned per tile
+
+    # Raster backend: "jnp" (portable, runs on CPU mesh tests) or "pallas"
+    # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
+    backend: str = "auto"
+
+    # Shadow mapping (MODE_PHONG only).
+    shadow_map_size: int = 0  # 0 => no shadow pass
+    shadow_bias: float = 2e-3
+
+    # Multi-chip screen-band sharding (SURVEY.md §2.4/§5.8): number of
+    # devices the framebuffer is sharded across (1 => single device).
+    num_shards: int = 1
+
+    # Clear color (the reference's RTV clear; SURVEY.md §3.2).
+    bg_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def __post_init__(self):
+        assert self.mode in MODE_NAMES, f"unknown mode {self.mode}"
+        assert self.width > 0 and self.height > 0
+        # int32 edge-function overflow guard (xr/core/fixedpoint.py).
+        sub = 1 << self.subpixel_bits
+        span = max(self.width, self.height) * sub * (1.0 + self.guard_band) / 2.0 * 2.0
+        assert 2.0 * span * span < 2**31, (
+            "subpixel_bits/guard_band too large for exact int32 edge functions "
+            f"at {self.width}x{self.height}"
+        )
+
+    @property
+    def attr_width(self) -> int:
+        return MODE_ATTR_WIDTH[self.mode]
+
+    @property
+    def subpixel(self) -> int:
+        return 1 << self.subpixel_bits
+
+
+# ---------------------------------------------------------------------------
+# Scene pytrees
+# ---------------------------------------------------------------------------
+
+
+class Mesh(struct.PyTreeNode):
+    """Triangle mesh as structure-of-arrays (SURVEY.md §2.1 "Mesh loading").
+
+    positions:    (V, 3) f32
+    normals:      (V, 3) f32 (unit)
+    uvs:          (V, 2) f32
+    indices:      (T, 3) i32 — CCW front faces (pre-projection)
+    material_id:  (T,)  i32 — index into Scene.materials rows
+    transform_id: (V,)  i32 — index into Scene.model_matrices
+    """
+
+    positions: Any
+    normals: Any
+    uvs: Any
+    indices: Any
+    material_id: Any
+    transform_id: Any
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+
+class Camera(struct.PyTreeNode):
+    """Perspective camera (reference's FPSCamera analog, SURVEY.md §2.1).
+
+    View/projection conventions are defined by xr.core.math3d (D3D-style
+    z in [0, 1] clip range; see that module's docstring).
+    Scalar fields may be traced for animated fly-throughs.
+    """
+
+    eye: Any  # (3,) f32
+    target: Any  # (3,) f32
+    up: Any  # (3,) f32
+    fov_y: Any  # scalar, radians
+    near: Any  # scalar
+    far: Any  # scalar
+
+
+class Lights(struct.PyTreeNode):
+    """Light set. Directional and point lights; ambient term.
+
+    dir_dirs:   (Ld, 3) f32 — direction light TRAVELS (shading uses -dir)
+    dir_colors: (Ld, 3) f32
+    pt_pos:     (Lp, 3) f32
+    pt_colors:  (Lp, 3) f32
+    ambient:    (3,) f32
+    """
+
+    dir_dirs: Any
+    dir_colors: Any
+    pt_pos: Any
+    pt_colors: Any
+    ambient: Any
+
+    @staticmethod
+    def make(
+        dir_dirs=None,
+        dir_colors=None,
+        pt_pos=None,
+        pt_colors=None,
+        ambient=(0.1, 0.1, 0.1),
+    ) -> "Lights":
+        z3 = np.zeros((0, 3), np.float32)
+
+        def arr(x):
+            return z3 if x is None else np.asarray(x, np.float32).reshape(-1, 3)
+
+        return Lights(
+            dir_dirs=arr(dir_dirs),
+            dir_colors=arr(dir_colors),
+            pt_pos=arr(pt_pos),
+            pt_colors=arr(pt_colors),
+            ambient=np.asarray(ambient, np.float32),
+        )
+
+
+class Material(struct.PyTreeNode):
+    """Material table, one row per material (SURVEY.md §2.1 Material/texture).
+
+    base_color: (M, 3) f32
+    ka, kd, ks: (M,) f32 — ambient/diffuse/specular coefficients
+    shininess:  (M,) f32
+    tex_id:     (M,) i32 — index into Scene.textures' first axis, -1 = none
+    """
+
+    base_color: Any
+    ka: Any
+    kd: Any
+    ks: Any
+    shininess: Any
+    tex_id: Any
+
+    @staticmethod
+    def table(rows) -> "Material":
+        """rows: list of dicts with keys base_color, ka, kd, ks, shininess, tex_id."""
+        def col(k, d, dt=np.float32):
+            return np.asarray([r.get(k, d) for r in rows], dt)
+
+        return Material(
+            base_color=col("base_color", (1.0, 1.0, 1.0)),
+            ka=col("ka", 1.0),
+            kd=col("kd", 1.0),
+            ks=col("ks", 0.0),
+            shininess=col("shininess", 32.0),
+            tex_id=col("tex_id", -1, np.int32),
+        )
+
+
+class TexturePyramid(struct.PyTreeNode):
+    """All scene textures with full mip chains, flattened into ONE gatherable
+    buffer so per-pixel dynamic LOD is a plain vectorized gather on TPU
+    (BASELINE.json:5 "texture sampling as vectorized gathers with mip
+    selection"). Textures must be square power-of-two and share a size.
+
+    data: (Ntex, P, 3) f32 where P = sum over levels of (S>>k)^2; level k is
+          stored row-major at `level_offset(k)`.
+    """
+
+    data: Any
+    base_size: int = struct.field(pytree_node=False, default=0)
+    num_levels: int = struct.field(pytree_node=False, default=0)
+
+    def level_size(self, k: int) -> int:
+        return max(self.base_size >> k, 1)
+
+    def level_offset(self, k: int) -> int:
+        return sum(self.level_size(j) ** 2 for j in range(k))
+
+    @property
+    def num_textures(self) -> int:
+        return self.data.shape[0]
+
+
+class Scene(struct.PyTreeNode):
+    """A complete renderable scene: one merged mesh (all draws batched into a
+    single device-wide triangle array per frame, SURVEY.md §2.4), materials,
+    a mip pyramid of textures, lights, and per-instance model matrices.
+
+    model_matrices: (M, 4, 4) f32, indexed by Mesh.transform_id.
+    """
+
+    mesh: Mesh
+    materials: Material
+    textures: Optional[TexturePyramid]
+    lights: Lights
+    model_matrices: Any
+
+
+class Frame(struct.PyTreeNode):
+    """Per-frame render output (the swapchain-present replacement is a
+    device-to-host readback of this struct + image dump, BASELINE.json:5).
+
+    color: (H, W, 3) u8
+    depth: (H, W) f32 (NDC z in [0,1]; 1.0 = background)
+    stats: dict of scalar counters (tris in/culled/clipped, fragments shaded,
+           bin/clip overflow flags) — SURVEY.md §5.5 observability.
+    """
+
+    color: Any
+    depth: Any
+    stats: Any
+
+
+def as_numpy_scene(scene: Scene) -> Scene:
+    """Deep-copy a scene with all leaves as numpy arrays (for the oracle)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), scene)

@@ -1,0 +1,387 @@
+"""Geometry stage: vertex transform, clipping, triangle setup.
+
+This is the reference's vertex shader PLUS the fixed-function stages that are
+invisible in its repo — primitive assembly, near/guard-band clipping,
+viewport transform, triangle setup (SURVEY.md §3.3: "this invisible middle is
+~60% of the new framework's code"). Everything here is static-shape,
+vectorized array code parameterized by ``xp`` (numpy or jax.numpy): executed
+with numpy it IS the CPU oracle's geometry stage; traced with jax.numpy it is
+the device pipeline — one source of semantics (SURVEY.md §7.3.3).
+
+Clipping is Sutherland-Hodgman against 6 clip-space planes (near z>=0,
+far z<=w, guard-band |x|<=g*w, |y|<=g*w) with STATIC topology: a triangle
+clipped by 6 planes yields at most 9 vertices, fanned into at most 7
+triangles (SURVEY.md §7.3.2 — no variable vertex counts in an XLA world).
+The guard band keeps post-clip screen coordinates bounded so integer edge
+functions cannot overflow (xr/core/fixedpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+from flax import struct
+
+from xr.core import fixedpoint as fp
+from xr.core import math3d as m3
+from xr.core import shade_math as sm
+from xr.core.types import (
+    MODE_DEPTH_ONLY,
+    MODE_FLAT,
+    MODE_GOURAUD,
+    MODE_PHONG,
+    MODE_TEXTURED,
+    RenderConfig,
+    Scene,
+)
+
+# Max vertices a triangle can have after clipping by 6 planes; max fan tris.
+MAX_CLIP_VERTS = 9
+MAX_FAN = MAX_CLIP_VERTS - 2  # 7
+
+
+class TriBuf(struct.PyTreeNode):
+    """Setup triangles, compacted to a static capacity (SoA).
+
+    xs, ys:   (C, 3) i32 — fixed-point screen coords (positive orientation)
+    z:        (C, 3) f32 — NDC depth per vertex
+    inv_w:    (C, 3) f32 — 1/clip.w per vertex
+    attr_w:   (C, 3, A) f32 — per-vertex attributes premultiplied by 1/w
+    face_rgb: (C, 3) f32 — flat-shading payload (per source triangle)
+    mat_id:   (C,)  i32 — material index payload
+    valid:    (C,)  bool
+    count:    ()    i32 — number of valid entries (<= C)
+    overflow: ()    i32 — triangles dropped because capacity was exceeded
+                    (SURVEY.md §7.3.1: fixed capacity + loud overflow counter)
+    """
+
+    xs: Any
+    ys: Any
+    z: Any
+    inv_w: Any
+    attr_w: Any
+    face_rgb: Any
+    mat_id: Any
+    valid: Any
+    count: Any
+    overflow: Any
+
+    @property
+    def capacity(self) -> int:
+        return self.xs.shape[0]
+
+
+def clip_capacity(num_tris: int, config: RenderConfig) -> int:
+    return int(np.ceil(num_tris * config.clip_expand)) + 64
+
+
+def _is_np(xp) -> bool:
+    return xp is np
+
+
+def _row_scatter(dst, rows, cols, src, mask, xp):
+    """dst[rows, cols] = src where mask (rows/cols/src/mask same shape).
+
+    numpy and jax have different scatter APIs; this is the one place the
+    backends diverge. Masked-out writes go to a discard column.
+    """
+    ncols = dst.shape[1]
+    cols = xp.where(mask, cols, ncols)  # out-of-range = dropped
+    if _is_np(xp):
+        out = np.concatenate([dst, np.zeros_like(dst[:, :1])], axis=1)
+        r = np.broadcast_to(rows, cols.shape)
+        out[r.reshape(-1), cols.reshape(-1)] = src.reshape((-1,) + src.shape[2:])
+        return out[:, :ncols]
+    import jax.numpy as jnp
+
+    pad = [(0, 1)] + [(0, 0)] * (dst.ndim - 1)
+    out = jnp.pad(dst, pad)
+    r = jnp.broadcast_to(rows, cols.shape)
+    out = out.at[r, cols].set(src, mode="drop")
+    return out[:, :ncols]
+
+
+def _plane_vectors(guard: float, xp):
+    """6 clip planes as (6,4) rows p with keep-condition dot(p, clip) >= 0."""
+    g = float(guard)
+    return xp.asarray(
+        [
+            [0.0, 0.0, 1.0, 0.0],  # near: z >= 0
+            [0.0, 0.0, -1.0, 1.0],  # far:  w - z >= 0
+            [1.0, 0.0, 0.0, g],  # left:  x + g*w >= 0
+            [-1.0, 0.0, 0.0, g],  # right: g*w - x >= 0
+            [0.0, 1.0, 0.0, g],  # y-:    y + g*w >= 0
+            [0.0, -1.0, 0.0, g],  # y+:    g*w - y >= 0
+        ],
+        xp.float32,
+    )
+
+
+def clip_triangles(pos, attr, guard: float, xp=np):
+    """Sutherland-Hodgman clip of (T,3,4) clip-space triangles (+ (T,3,A)
+    attributes) against the 6 planes. Static shapes throughout.
+
+    Returns (poly_pos (T,MAXV,4), poly_attr (T,MAXV,A), counts (T,)).
+    Polygons with count < 3 are fully clipped away.
+    """
+    T = pos.shape[0]
+    A = attr.shape[2]
+    MAXV = MAX_CLIP_VERTS
+    poly = xp.zeros((T, MAXV, 4 + A), xp.float32)
+    poly = _row_scatter(
+        poly,
+        xp.arange(T)[:, None],
+        xp.broadcast_to(xp.arange(3)[None, :], (T, 3)),
+        xp.concatenate([pos, attr], axis=2).astype(xp.float32),
+        xp.ones((T, 3), bool),
+        xp,
+    )
+    cnt = xp.full((T,), 3, xp.int32)
+
+    planes = _plane_vectors(guard, xp)
+    slot = xp.broadcast_to(xp.arange(MAXV)[None, :], (T, MAXV))
+
+    for p in range(6):
+        pl = planes[p]
+        d = xp.sum(poly[:, :, :4] * pl, axis=2)  # (T, MAXV)
+        live = slot < cnt[:, None]
+        nxt = xp.where(slot + 1 >= cnt[:, None], 0, slot + 1)
+        d_next = xp.take_along_axis(d, nxt, axis=1)
+        v_next = xp.take_along_axis(
+            poly, nxt[:, :, None].astype(xp.int32) * xp.ones((1, 1, 4 + A), xp.int32), axis=1
+        )
+        inside = (d >= 0.0) & live
+        crosses = ((d >= 0.0) != (d_next >= 0.0)) & live
+        denom = d - d_next
+        t = xp.where(crosses, d / xp.where(denom == 0.0, 1.0, denom), 0.0).astype(
+            xp.float32
+        )
+        inter = poly + t[:, :, None] * (v_next - poly)
+
+        emit = inside.astype(xp.int32) + crosses.astype(xp.int32)
+        start = xp.cumsum(emit, axis=1) - emit  # exclusive prefix sum
+        new_poly = xp.zeros_like(poly)
+        rows = xp.arange(T)[:, None]
+        new_poly = _row_scatter(new_poly, rows, start, poly, inside, xp)
+        new_poly = _row_scatter(
+            new_poly, rows, start + inside.astype(xp.int32), inter, crosses, xp
+        )
+        poly = new_poly
+        cnt = xp.sum(emit, axis=1).astype(xp.int32)
+
+    return poly[:, :, :4], poly[:, :, 4:], cnt
+
+
+def _vertex_stage(scene: Scene, view, proj, config: RenderConfig, xp=np):
+    """Transform vertices and compute per-vertex attributes / per-tri payload.
+
+    Returns (clip_pos (V,4), attrs (V,A), face_rgb (T,3)).
+    The view-proj transform is the fused MXU matmul of BASELINE.json:5.
+    """
+    mesh = scene.mesh
+    mode = config.mode
+    prec = None if _is_np(xp) else "highest"
+
+    mats = scene.model_matrices[mesh.transform_id]  # (V,4,4) gather
+    p4 = xp.concatenate(
+        [mesh.positions, xp.ones((mesh.num_vertices, 1), xp.float32)], axis=1
+    )
+    world4 = xp.einsum("vij,vj->vi", mats, p4).astype(xp.float32)
+    world = world4[:, :3]
+    n_world = xp.einsum("vij,vj->vi", mats[:, :3, :3], mesh.normals).astype(xp.float32)
+    n_world = m3.normalize(n_world, xp)
+
+    vp = (proj @ view).astype(xp.float32)
+    clip = m3.transform_points(world, vp, xp, precision=prec).astype(xp.float32)
+
+    A = config.attr_width
+    attrs = xp.zeros((mesh.num_vertices, A), xp.float32)
+    T = mesh.num_triangles
+    face_rgb = xp.zeros((T, 3), xp.float32)
+
+    mat = scene.materials
+    if mode == MODE_FLAT:
+        i0, i1, i2 = mesh.indices[:, 0], mesh.indices[:, 1], mesh.indices[:, 2]
+        e1 = world[i1] - world[i0]
+        e2 = world[i2] - world[i0]
+        fn = m3.normalize(m3.cross(e1, e2, xp), xp)
+        base = mat.base_color[mesh.material_id]
+        kd = mat.kd[mesh.material_id]
+        face_rgb = sm.shade_flat_face(fn, base, kd, scene.lights, xp)
+    elif mode == MODE_GOURAUD:
+        base = mat.base_color[_vert_mat(mesh, xp)]
+        kd = mat.kd[_vert_mat(mesh, xp)]
+        attrs = sm.shade_vertex_lit(n_world, base, kd, scene.lights, xp)
+    elif mode == MODE_TEXTURED:
+        base = mat.base_color[_vert_mat(mesh, xp)]
+        kd = mat.kd[_vert_mat(mesh, xp)]
+        lit = sm.shade_vertex_lit(n_world, base, kd, scene.lights, xp)
+        attrs = xp.concatenate([mesh.uvs, lit], axis=1).astype(xp.float32)
+    elif mode == MODE_PHONG:
+        attrs = xp.concatenate([world, n_world, mesh.uvs], axis=1).astype(xp.float32)
+    elif mode == MODE_DEPTH_ONLY:
+        pass
+    return clip, attrs, face_rgb
+
+
+def _vert_mat(mesh, xp):
+    """Per-vertex material id: from the first triangle that uses the vertex.
+
+    Computed by scattering triangle material ids to their corner vertices
+    (last write wins — deterministic given triangle order)."""
+    V = mesh.num_vertices
+    out = xp.zeros((V,), xp.int32)
+    idx = mesh.indices.reshape(-1)
+    val = xp.repeat(mesh.material_id, 3)
+    if _is_np(xp):
+        out = out.copy()
+        out[idx] = val
+        return out
+    return out.at[idx].set(val)
+
+
+def geometry(
+    scene: Scene,
+    view,
+    proj,
+    config: RenderConfig,
+    xp=np,
+    capacity: Optional[int] = None,
+) -> TriBuf:
+    """Full geometry stage: vertex transform -> clip -> project -> snap ->
+    cull -> setup -> compact. Static output capacity.
+    """
+    mesh = scene.mesh
+    T = mesh.num_triangles
+    A = config.attr_width
+    C = capacity if capacity is not None else clip_capacity(T, config)
+    sub = config.subpixel
+
+    clip, vattrs, face_rgb = _vertex_stage(scene, view, proj, config, xp)
+
+    tri_pos = clip[mesh.indices]  # (T,3,4)
+    tri_attr = (
+        vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
+    )
+
+    poly_pos, poly_attr, cnt = clip_triangles(
+        tri_pos, tri_attr, config.guard_band, xp
+    )
+
+    # Fan: polygon (v0, vk+1, vk+2) for k in 0..MAX_FAN-1, valid iff k+2 < cnt.
+    F = MAX_FAN
+    k = xp.arange(F)
+    fan_valid = (k[None, :] + 2) < cnt[:, None]  # (T,F)
+    idx0 = xp.zeros((T, F), xp.int32)
+    idx1 = xp.broadcast_to((k + 1)[None, :], (T, F)).astype(xp.int32)
+    idx2 = xp.broadcast_to((k + 2)[None, :], (T, F)).astype(xp.int32)
+
+    def gather_poly(arr, idx):
+        # arr (T,MAXV,D), idx (T,F) -> (T,F,D)
+        return xp.take_along_axis(
+            arr, idx[:, :, None] * xp.ones((1, 1, arr.shape[2]), xp.int32), axis=1
+        )
+
+    fpos = xp.stack(
+        [gather_poly(poly_pos, i) for i in (idx0, idx1, idx2)], axis=2
+    )  # (T,F,3,4)
+    fattr = (
+        xp.stack([gather_poly(poly_attr, i) for i in (idx0, idx1, idx2)], axis=2)
+        if A
+        else xp.zeros((T, F, 3, 0), xp.float32)
+    )
+
+    # Project + viewport transform + snap (xr/core/math3d.py conventions).
+    w = xp.maximum(fpos[..., 3], 1e-12)
+    inv_w = (1.0 / w).astype(xp.float32)
+    ndc_x = fpos[..., 0] * inv_w
+    ndc_y = fpos[..., 1] * inv_w
+    z = (fpos[..., 2] * inv_w).astype(xp.float32)
+    sx = (ndc_x * 0.5 + 0.5) * config.width
+    sy = (0.5 - ndc_y * 0.5) * config.height
+    xs = fp.snap_to_fixed(sx, sub, xp)  # (T,F,3) i32
+    ys = fp.snap_to_fixed(sy, sub, xp)
+
+    area2 = fp.doubled_area(xs, ys, xp)  # (T,F)
+    if config.cull_backfaces:
+        orient_ok = area2 > 0
+        flip = xp.zeros_like(area2, dtype=bool)
+    else:
+        orient_ok = area2 != 0
+        flip = area2 < 0
+
+    # Canonicalize winding: swap v1/v2 where flipped (exact int swap).
+    def swap12(arr, flip_mask):
+        fm = flip_mask.reshape(flip_mask.shape + (1,) * (arr.ndim - 2))
+        if arr.ndim == 3:  # (T,F,3)
+            swapped = xp.stack([arr[..., 0], arr[..., 2], arr[..., 1]], axis=-1)
+        else:  # (T,F,3,A): swap along axis 2
+            swapped = xp.stack(
+                [arr[..., 0, :], arr[..., 2, :], arr[..., 1, :]], axis=2
+            )
+        return xp.where(fm, swapped, arr)
+
+    xs = swap12(xs, flip)
+    ys = swap12(ys, flip)
+    z = swap12(z, flip)
+    inv_w = swap12(inv_w, flip)
+    if A:
+        fattr = swap12(fattr, flip)
+
+    valid = fan_valid & orient_ok
+
+    # Screen-rect reject: triangle bbox outside the framebuffer contributes
+    # nothing (pixel centers are at sub/2 .. ).
+    min_x = xp.min(xs, axis=-1)
+    max_x = xp.max(xs, axis=-1)
+    min_y = xp.min(ys, axis=-1)
+    max_y = xp.max(ys, axis=-1)
+    half = sub // 2
+    on_screen = (
+        (max_x >= half)
+        & (min_x <= (config.width - 1) * sub + half)
+        & (max_y >= half)
+        & (min_y <= (config.height - 1) * sub + half)
+    )
+    valid = valid & on_screen
+
+    attr_w = (fattr * inv_w[..., None]).astype(xp.float32) if A else fattr
+
+    # ---- compact (T,F) -> capacity C, preserving (tri, fan) order --------
+    flat_valid = valid.reshape(-1)
+    n = flat_valid.shape[0]
+    pos_idx = xp.cumsum(flat_valid.astype(xp.int32)) - flat_valid.astype(xp.int32)
+    total = xp.sum(flat_valid.astype(xp.int32))
+    keep = flat_valid & (pos_idx < C)
+
+    def compact(arr, fill=0):
+        flat = arr.reshape((n,) + arr.shape[2:])
+        out = xp.full((C,) + flat.shape[1:], fill, flat.dtype)
+        if _is_np(xp):
+            out[pos_idx[keep]] = flat[keep]
+            return out
+        dst = xp.where(keep, pos_idx, C)
+        import jax.numpy as jnp
+
+        outp = jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0)
+        outp = outp.at[dst].set(flat, mode="drop")
+        return outp[:C]
+
+    src_tri = xp.broadcast_to(xp.arange(T)[:, None], (T, F))
+    out_count = xp.minimum(total, C).astype(xp.int32)
+    return TriBuf(
+        xs=compact(xs),
+        ys=compact(ys),
+        z=compact(z),
+        inv_w=compact(inv_w),
+        attr_w=compact(attr_w),
+        face_rgb=compact(face_rgb[:, None, :] * xp.ones((1, F, 1), xp.float32)),
+        mat_id=compact(
+            (mesh.material_id[:, None] * xp.ones((1, F), xp.int32)).astype(xp.int32)
+        ),
+        valid=compact(valid).astype(bool)
+        & (xp.arange(C) < out_count),
+        count=out_count,
+        overflow=xp.maximum(total - C, 0).astype(xp.int32),
+    )

@@ -1,0 +1,309 @@
+"""The five capability-config scenes (BASELINE.json:7-11) as presets.
+
+Each preset bundles a static Scene, an `animate(t, xp)` function producing
+the per-frame camera + model matrices (traced on device so the frame loop is
+ONE compiled XLA program with t as a traced arg, SURVEY.md §3.2), and the
+RenderConfig. Scripted camera paths replace the reference's FPS-camera input
+(SURVEY.md §2.1 "OS window + input": dropped for headless operation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import numpy as np
+
+from xr.core import math3d as m3
+from xr.core.types import (
+    MODE_FLAT,
+    MODE_GOURAUD,
+    MODE_PHONG,
+    MODE_TEXTURED,
+    Camera,
+    Lights,
+    Material,
+    RenderConfig,
+    Scene,
+)
+from xr.scene import procedural as proc
+from xr.scene import texture as tx
+
+
+class Preset(NamedTuple):
+    name: str
+    scene: Scene
+    animate: Callable  # (t, xp) -> (Camera, model_matrices)
+    config: RenderConfig
+
+
+def _identity_mats(n=1):
+    return np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+
+
+def config1_cube() -> Preset:
+    """Config 1 (BASELINE.json:7): spinning flat-shaded cube, 512x512,
+    depth test on — the CPU-reference frame loop."""
+    mesh = proc.cube(1.2)
+    scene = Scene(
+        mesh=mesh,
+        materials=Material.table([{"base_color": (0.9, 0.35, 0.25)}]),
+        textures=None,
+        lights=Lights.make(
+            dir_dirs=[(-0.5, -0.7, -0.5)],
+            dir_colors=[(1.0, 1.0, 1.0)],
+            ambient=(0.15, 0.15, 0.15),
+        ),
+        model_matrices=_identity_mats(),
+    )
+
+    def animate(t, xp=np):
+        model = m3.rotation_y(t * 0.9, xp) @ m3.rotation_x(t * 0.37, xp)
+        cam = Camera(
+            eye=xp.asarray((1.9, 1.4, 2.6), xp.float32),
+            target=xp.asarray((0.0, 0.0, 0.0), xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(50.0), xp.float32),
+            near=xp.asarray(0.1, xp.float32),
+            far=xp.asarray(20.0, xp.float32),
+        )
+        return cam, model[None].astype(xp.float32)
+
+    cfg = RenderConfig(width=512, height=512, mode=MODE_FLAT, depth_test=True)
+    return Preset("config1_cube", scene, animate, cfg)
+
+
+def config2_icospheres() -> Preset:
+    """Config 2 (BASELINE.json:8): Gouraud icosphere grid (~10k tris), one
+    directional light, 1080p."""
+    spheres = []
+    k = 0
+    for gz in range(6):
+        for gx in range(6):
+            s = proc.icosphere(2, radius=0.55, mat=k % 4)
+            m = m3.translation(((gx - 2.5) * 1.5, 0.0, (gz - 2.5) * 1.5), np)
+            spheres.append(proc.transformed(s, m))
+            k += 1
+    mesh = proc.merge_meshes(spheres)  # 36 * 320 = 11520 tris
+    scene = Scene(
+        mesh=mesh,
+        materials=Material.table(
+            [
+                {"base_color": (0.85, 0.3, 0.3)},
+                {"base_color": (0.3, 0.8, 0.4)},
+                {"base_color": (0.3, 0.45, 0.9)},
+                {"base_color": (0.9, 0.8, 0.3)},
+            ]
+        ),
+        textures=None,
+        lights=Lights.make(
+            dir_dirs=[(-0.4, -0.8, -0.45)],
+            dir_colors=[(1.0, 0.98, 0.9)],
+            ambient=(0.12, 0.12, 0.14),
+        ),
+        model_matrices=_identity_mats(),
+    )
+
+    def animate(t, xp=np):
+        ang = t * 0.25
+        eye = xp.stack(
+            [7.5 * xp.cos(xp.asarray(ang, xp.float32)),
+             xp.asarray(4.5, xp.float32),
+             7.5 * xp.sin(xp.asarray(ang, xp.float32))]
+        )
+        cam = Camera(
+            eye=eye.astype(xp.float32),
+            target=xp.asarray((0.0, 0.0, 0.0), xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(55.0), xp.float32),
+            near=xp.asarray(0.2, xp.float32),
+            far=xp.asarray(60.0, xp.float32),
+        )
+        return cam, xp.asarray(_identity_mats(), xp.float32)
+
+    cfg = RenderConfig(width=1920, height=1080, mode=MODE_GOURAUD)
+    return Preset("config2_icospheres", scene, animate, cfg)
+
+
+def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
+    """Config 3 (BASELINE.json:9): textured ~100k-tri scene with
+    perspective-correct bilinear sampling + mipmaps. Terrain is the
+    reference's flagship app domain (SURVEY.md §1 L4)."""
+    mesh = proc.terrain(nx, nz, size=40.0, height=4.0)
+    pyramid = tx.build_pyramid([tx.checkerboard(256, 16), tx.noise_texture(256)])
+    scene = Scene(
+        mesh=mesh,
+        materials=Material.table([{"base_color": (1.0, 1.0, 1.0), "tex_id": 0}]),
+        textures=pyramid,
+        lights=Lights.make(
+            dir_dirs=[(-0.35, -0.8, -0.5)],
+            dir_colors=[(1.0, 0.97, 0.9)],
+            ambient=(0.18, 0.18, 0.2),
+        ),
+        model_matrices=_identity_mats(),
+    )
+
+    def animate(t, xp=np):
+        ang = t * 0.12
+        tf = xp.asarray(t, xp.float32)
+        eye = xp.stack(
+            [
+                14.0 * xp.cos(xp.asarray(ang, xp.float32)),
+                xp.asarray(7.0, xp.float32) + 0.0 * tf,
+                14.0 * xp.sin(xp.asarray(ang, xp.float32)),
+            ]
+        )
+        cam = Camera(
+            eye=eye.astype(xp.float32),
+            target=xp.asarray((0.0, 0.0, 0.0), xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(55.0), xp.float32),
+            near=xp.asarray(0.3, xp.float32),
+            far=xp.asarray(120.0, xp.float32),
+        )
+        return cam, xp.asarray(_identity_mats(), xp.float32)
+
+    cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED)
+    return Preset("config3_terrain", scene, animate, cfg)
+
+
+def config4_phong() -> Preset:
+    """Config 4 (BASELINE.json:10): multi-light Phong with a shadow-map
+    depth pass + main pass (two-pass frame)."""
+    ground = proc.grid_plane(24, 24, size=14.0, mat=0)
+    objs = [ground]
+    tids = [0]
+    rng = np.random.default_rng(11)
+    for i in range(8):
+        x, z = rng.uniform(-4.5, 4.5, 2)
+        if i % 2 == 0:
+            s = proc.cube(1.0, mat=1 + (i % 3))
+            m = m3.translation((x, 0.55, z), np) @ m3.rotation_y(
+                float(rng.uniform(0, 3.14)), np
+            )
+        else:
+            s = proc.icosphere(2, 0.65, mat=1 + (i % 3))
+            m = m3.translation((x, 0.7, z), np)
+        objs.append(proc.transformed(s, m))
+        tids.append(0)
+    mesh = proc.merge_meshes(objs, tids)
+    scene = Scene(
+        mesh=mesh,
+        materials=Material.table(
+            [
+                {"base_color": (0.75, 0.75, 0.78), "ks": 0.1, "shininess": 16.0},
+                {"base_color": (0.85, 0.25, 0.2), "ks": 0.6, "shininess": 48.0},
+                {"base_color": (0.2, 0.6, 0.85), "ks": 0.6, "shininess": 64.0},
+                {"base_color": (0.95, 0.8, 0.25), "ks": 0.8, "shininess": 96.0},
+            ]
+        ),
+        textures=None,
+        lights=Lights.make(
+            dir_dirs=[(-0.45, -0.75, -0.35), (0.6, -0.5, 0.4)],
+            dir_colors=[(0.95, 0.92, 0.85), (0.25, 0.28, 0.35)],
+            pt_pos=[(3.0, 3.0, -3.0), (-3.5, 2.5, 3.0)],
+            pt_colors=[(0.9, 0.55, 0.3), (0.3, 0.5, 0.9)],
+            ambient=(0.08, 0.08, 0.1),
+        ),
+        model_matrices=_identity_mats(),
+    )
+
+    def animate(t, xp=np):
+        ang = 0.8 + t * 0.2
+        eye = xp.stack(
+            [
+                11.0 * xp.cos(xp.asarray(ang, xp.float32)),
+                xp.asarray(6.0, xp.float32),
+                11.0 * xp.sin(xp.asarray(ang, xp.float32)),
+            ]
+        )
+        cam = Camera(
+            eye=eye.astype(xp.float32),
+            target=xp.asarray((0.0, 0.5, 0.0), xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(50.0), xp.float32),
+            near=xp.asarray(0.2, xp.float32),
+            far=xp.asarray(80.0, xp.float32),
+        )
+        return cam, xp.asarray(_identity_mats(), xp.float32)
+
+    cfg = RenderConfig(
+        width=1920, height=1080, mode=MODE_PHONG, shadow_map_size=1024
+    )
+    return Preset("config4_phong", scene, animate, cfg)
+
+
+def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
+    """Config 5 (BASELINE.json:11): ~1M-triangle Sponza-class fly-through,
+    sharded per screen-tile band across 4 chips (SURVEY.md §5.8)."""
+    terrain = proc.terrain(nx, nz, size=120.0, height=7.0, octaves=6, seed=13)
+    # "city": boxes scattered on the terrain for architectural occlusion
+    rng = np.random.default_rng(5)
+    objs = [terrain]
+    for _ in range(40):
+        x, z = rng.uniform(-40, 40, 2)
+        h = float(rng.uniform(1.5, 6.0))
+        b = proc.cube(1.0, mat=1)
+        m = m3.translation((x, h * 0.5 + 1.0, z), np) @ m3.scaling(
+            (rng.uniform(1, 4), h, rng.uniform(1, 4)), np
+        )
+        objs.append(proc.transformed(b, m))
+    mesh = proc.merge_meshes(objs)
+    pyramid = tx.build_pyramid([tx.noise_texture(256, seed=9), tx.checkerboard(256, 8)])
+    scene = Scene(
+        mesh=mesh,
+        materials=Material.table(
+            [
+                {"base_color": (1.0, 1.0, 1.0), "tex_id": 0},
+                {"base_color": (0.9, 0.85, 0.8), "tex_id": 1},
+            ]
+        ),
+        textures=pyramid,
+        lights=Lights.make(
+            dir_dirs=[(-0.3, -0.75, -0.55)],
+            dir_colors=[(1.0, 0.96, 0.88)],
+            ambient=(0.2, 0.2, 0.22),
+        ),
+        model_matrices=_identity_mats(),
+    )
+
+    def animate(t, xp=np):
+        tf = xp.asarray(t, xp.float32)
+        ang = tf * 0.1
+        eye = xp.stack(
+            [30.0 * xp.cos(ang), 9.0 + 2.0 * xp.sin(tf * 0.31), 30.0 * xp.sin(ang)]
+        )
+        tgt = xp.stack([12.0 * xp.cos(ang + 0.7), 2.0 + 0.0 * tf, 12.0 * xp.sin(ang + 0.7)])
+        cam = Camera(
+            eye=eye.astype(xp.float32),
+            target=tgt.astype(xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(60.0), xp.float32),
+            near=xp.asarray(0.3, xp.float32),
+            far=xp.asarray(300.0, xp.float32),
+        )
+        return cam, xp.asarray(_identity_mats(), xp.float32)
+
+    cfg = RenderConfig(
+        width=1920,
+        height=1080,
+        mode=MODE_TEXTURED,
+        num_shards=4,
+        bin_capacity=4096,
+    )
+    return Preset("config5_flythrough", scene, animate, cfg)
+
+
+ALL_PRESETS = {
+    "config1": config1_cube,
+    "config2": config2_icospheres,
+    "config3": config3_terrain,
+    "config4": config4_phong,
+    "config5": config5_flythrough,
+}
+
+
+def small_preset(preset: Preset, width=160, height=120, **overrides) -> Preset:
+    """Shrink a preset's framebuffer for tests/goldens."""
+    cfg = dataclasses.replace(preset.config, width=width, height=height, **overrides)
+    return Preset(preset.name, preset.scene, preset.animate, cfg)

@@ -1,0 +1,89 @@
+"""Texture creation and mip-chain building (SURVEY.md §2.1 Material/texture:
+"image -> GPU texture with mip chain"). Host-side numpy; the pyramid is
+flattened into the gatherable TexturePyramid layout (xr/core/types.py)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from xr.core.types import TexturePyramid
+
+
+def build_pyramid(images: Sequence[np.ndarray]) -> TexturePyramid:
+    """Flatten square power-of-two (S, S, 3) f32 textures + box-filter mips.
+
+    Level k+1 texel = mean of its four level-k parents (the classic box
+    filter), down to 1x1.
+    """
+    imgs = [np.asarray(im, np.float32) for im in images]
+    s = imgs[0].shape[0]
+    assert s & (s - 1) == 0 and s > 0, "texture size must be a power of two"
+    for im in imgs:
+        assert im.shape == (s, s, 3), f"all textures must be ({s},{s},3)"
+    num_levels = s.bit_length()  # S=2^n -> n+1 levels
+
+    flats = []
+    for im in imgs:
+        levels = [im]
+        cur = im
+        for _ in range(num_levels - 1):
+            cur = 0.25 * (
+                cur[0::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 0::2] + cur[1::2, 1::2]
+            )
+            levels.append(cur.astype(np.float32))
+        flats.append(np.concatenate([lv.reshape(-1, 3) for lv in levels], axis=0))
+
+    return TexturePyramid(
+        data=np.stack(flats, axis=0),
+        base_size=s,
+        num_levels=num_levels,
+    )
+
+
+def checkerboard(
+    size: int = 256,
+    cells: int = 8,
+    color_a=(0.95, 0.95, 0.95),
+    color_b=(0.15, 0.2, 0.45),
+) -> np.ndarray:
+    """Classic checker texture — high-frequency content that makes mip
+    selection and perspective correction visibly (and numerically) matter."""
+    ij = np.arange(size)
+    cell = (ij * cells) // size
+    mask = (cell[:, None] + cell[None, :]) % 2
+    a = np.asarray(color_a, np.float32)
+    b = np.asarray(color_b, np.float32)
+    return np.where(mask[:, :, None] == 0, a, b).astype(np.float32)
+
+
+def noise_texture(size: int = 256, seed: int = 3, lo=0.25, hi=1.0) -> np.ndarray:
+    """Smooth value-noise RGB texture (terrain albedo)."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros((size, size, 3), np.float32)
+    amp, cells = 1.0, 4
+    total = 0.0
+    while cells <= size:
+        g = rng.random((cells, cells, 3)).astype(np.float32)
+        # bilinear upsample g to (size, size) with wrap
+        yi = np.linspace(0, cells, size, endpoint=False)
+        y0 = yi.astype(int) % cells
+        y1 = (y0 + 1) % cells
+        fy = (yi - yi.astype(int)).astype(np.float32)[:, None, None]
+        row0 = g[y0]
+        row1 = g[y1]
+        col = np.linspace(0, cells, size, endpoint=False)
+        x0 = col.astype(int) % cells
+        x1 = (x0 + 1) % cells
+        fx = (col - col.astype(int)).astype(np.float32)[None, :, None]
+        v = (row0[:, x0] * (1 - fx) + row0[:, x1] * fx) * (1 - fy) + (
+            row1[:, x0] * (1 - fx) + row1[:, x1] * fx
+        ) * fy
+        out += amp * v
+        total += amp
+        amp *= 0.55
+        cells *= 2
+    out /= total
+    out = lo + (hi - lo) * (out - out.min()) / max(out.max() - out.min(), 1e-9)
+    return out.astype(np.float32)

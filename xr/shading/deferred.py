@@ -1,0 +1,188 @@
+"""Deferred shading pass — shades every pixel exactly once.
+
+The reference shades fragments inline in the pixel shader with overdraw
+(SURVEY.md §3.3); a TPU-first design splits the frame into a cheap integer
+visibility pass (winning triangle id per pixel — the Pallas kernel's job) and
+ONE dense, fully vectorized shading pass over the whole framebuffer, where
+texture fetches become large batched gathers and lighting becomes fused VPU
+math (BASELINE.json:5). Overdraw therefore costs visibility-pass ALU only,
+never shading/texture bandwidth. "Mpixels shaded/sec" (BASELINE.json:2)
+counts exactly H*W shaded fragments per frame plus shadow-pass texels.
+
+Parameterized by ``xp`` so the CPU oracle shades with literally this code
+(numpy) — shading semantics exist once (SURVEY.md §7.3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from xr.core import fixedpoint as fp
+from xr.core import shade_math as sm
+from xr.core.types import (
+    MODE_DEPTH_ONLY,
+    MODE_FLAT,
+    MODE_GOURAUD,
+    MODE_PHONG,
+    MODE_TEXTURED,
+    RenderConfig,
+    Scene,
+)
+from xr.pipeline.geometry import TriBuf
+from xr.raster.common import BG_TRI_ID, pixel_grids
+
+
+def shade_deferred(
+    tri: TriBuf,
+    tid,
+    scene: Scene,
+    config: RenderConfig,
+    eye=None,
+    shadow_depth=None,
+    light_viewproj=None,
+    px=None,
+    py=None,
+    y_offset: int = 0,
+    xp=np,
+):
+    """Shade a visibility buffer into (H, W, 3) f32 linear color.
+
+    tid: (H, W) i32 winning triangle ids (BG_TRI_ID = background).
+    px, py: optional precomputed fixed-point pixel grids; y_offset shifts the
+    pixel rows for sharded framebuffer bands (SURVEY.md §5.8).
+    """
+    if config.mode == MODE_DEPTH_ONLY:
+        raise ValueError("depth-only pass has no shading")
+    H, W = tid.shape
+    if px is None or py is None:
+        px, py = pixel_grids(W, H, config.subpixel, xp)
+        if y_offset:
+            py = py + y_offset * config.subpixel
+
+    bg = tid == BG_TRI_ID
+    t = xp.where(bg, 0, tid)
+
+    if config.mode == MODE_FLAT:
+        color = tri.face_rgb[t]
+        return _with_bg(color, bg, config, xp)
+
+    xs = tri.xs[t]  # (H,W,3)
+    ys = tri.ys[t]
+    inv_w = tri.inv_w[t]
+    attr_w = tri.attr_w[t]  # (H,W,3,A)
+
+    _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
+    l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
+    lam = xp.stack([l0, l1, l2], axis=-1)  # (H,W,3)
+
+    denom = xp.sum(lam * inv_w, axis=-1)  # interpolated 1/w
+    inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
+    attrs = xp.sum(lam[..., None] * attr_w, axis=-2) * inv_denom[..., None]
+
+    if config.mode == MODE_GOURAUD:
+        return _with_bg(attrs[..., 0:3], bg, config, xp)
+
+    mat_id = tri.mat_id[t]
+    mats = scene.materials
+
+    if config.mode == MODE_TEXTURED:
+        uv = attrs[..., 0:2]
+        lit = attrs[..., 2:5]
+        texc = _sample_texture(
+            tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
+            mat_id, xs, ys, uv_slot=0, xp=xp,
+        )
+        return _with_bg(texc * lit, bg, config, xp)
+
+    assert config.mode == MODE_PHONG
+    world = attrs[..., 0:3]
+    normal = attrs[..., 3:6]
+    nrm = xp.sqrt(xp.sum(normal * normal, axis=-1, keepdims=True))
+    normal = normal / xp.maximum(nrm, 1e-12)
+    uv = attrs[..., 6:8]
+
+    base = mats.base_color[mat_id]
+    texc = _sample_texture(
+        tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
+        mat_id, xs, ys, uv_slot=6, xp=xp,
+    )
+    base = base * texc
+
+    shadow = None
+    if shadow_depth is not None and light_viewproj is not None:
+        shadow = sm.shadow_test(
+            shadow_depth, world, light_viewproj, config.shadow_bias, xp
+        )
+
+    color = sm.shade_phong(
+        world,
+        normal,
+        xp.asarray(eye, xp.float32),
+        base,
+        mats.ka[mat_id],
+        mats.kd[mat_id],
+        mats.ks[mat_id],
+        mats.shininess[mat_id],
+        scene.lights,
+        shadow_factor=shadow,
+        xp=xp,
+    )
+    return _with_bg(color, bg, config, xp)
+
+
+def _sample_texture(
+    tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
+    mat_id, xs, ys, uv_slot: int, xp,
+):
+    """Trilinear texture fetch with analytic per-pixel LOD.
+
+    LOD comes from analytic screen-space uv derivatives via the quotient rule
+    on the perspective-correct interpolation u = N(p)/D(p) (SURVEY.md §7.2.6:
+    no quad-derivative trick needed):
+      N(p) = sum_k E_k(p) * (u_k / w_k),  D(p) = sum_k E_k(p) * (1 / w_k)
+      dE_k/dpixel = A/B coefficient of the opposite edge * subpixel.
+    Returns (H, W, 3); white where the material has no texture.
+    """
+    pyr = scene.textures
+    if pyr is None or pyr.num_levels == 0:
+        return xp.ones(uv.shape[:-1] + (3,), xp.float32)
+
+    sub = float(config.subpixel)
+    a, b = fp.edge_coeffs(xs, ys, xp)  # (H,W,3) per edge v_k->v_{k+1}
+    # Edge opposite vertex k is edge index (k+1) % 3 (see fixedpoint.coverage).
+    a_opp = xp.stack([a[..., 1], a[..., 2], a[..., 0]], axis=-1).astype(xp.float32)
+    b_opp = xp.stack([b[..., 1], b[..., 2], b[..., 0]], axis=-1).astype(xp.float32)
+
+    uw = attr_w[..., uv_slot]  # (H,W,3)  u_k/w_k
+    vw = attr_w[..., uv_slot + 1]
+    e = xp.stack([e0, e1, e2], axis=-1).astype(xp.float32)
+
+    D = (e * inv_w).sum(-1)
+    Nu = (e * uw).sum(-1)
+    Nv = (e * vw).sum(-1)
+    dDdx = (a_opp * inv_w).sum(-1) * sub
+    dDdy = (b_opp * inv_w).sum(-1) * sub
+    dNudx = (a_opp * uw).sum(-1) * sub
+    dNudy = (b_opp * uw).sum(-1) * sub
+    dNvdx = (a_opp * vw).sum(-1) * sub
+    dNvdy = (b_opp * vw).sum(-1) * sub
+    invD2 = 1.0 / xp.maximum(D * D, 1e-30)
+    dudx = (dNudx * D - Nu * dDdx) * invD2
+    dudy = (dNudy * D - Nu * dDdy) * invD2
+    dvdx = (dNvdx * D - Nv * dDdx) * invD2
+    dvdy = (dNvdy * D - Nv * dDdy) * invD2
+
+    lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, pyr.base_size, xp)
+
+    tex_id = scene.materials.tex_id[mat_id]
+    has_tex = tex_id >= 0
+    tid_safe = xp.where(has_tex, tex_id, 0)
+    texc = sm.sample_trilinear(pyr, tid_safe, uv[..., 0], uv[..., 1], lod, xp)
+    return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
+
+
+def _with_bg(color, bg, config: RenderConfig, xp):
+    bgc = xp.asarray(config.bg_color, xp.float32)
+    return xp.where(bg[..., None], bgc, color).astype(xp.float32)
