@@ -1,13 +1,18 @@
-"""Test env setup: force the CPU backend with 8 virtual devices BEFORE jax
-imports, so sharding/collective tests run anywhere (SURVEY.md §4.2 —
-the standard host-count trick). Set XR_TEST_PLATFORM=tpu to run the
-TPU-marked Pallas tests on real hardware instead.
+"""Test env setup: force the CPU backend with 8 virtual devices, so
+sharding/collective tests run anywhere (SURVEY.md §4.2 — the standard
+host-count trick). Set XR_TEST_PLATFORM=tpu to run the TPU-marked Pallas
+tests on real hardware instead.
+
+Note: this box's sitecustomize force-registers the axon TPU platform and
+sets the jax_platforms config to "axon,cpu", so plain env vars are not
+enough — we must update the jax config in-process (before any backend
+client initializes).
 """
 
 import os
 
 _platform = os.environ.get("XR_TEST_PLATFORM", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", _platform)
+os.environ["JAX_PLATFORMS"] = _platform
 if _platform == "cpu":
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
@@ -15,7 +20,10 @@ if _platform == "cpu":
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 
 def pytest_configure(config):
@@ -26,7 +34,5 @@ def pytest_configure(config):
 
 def pytest_runtest_setup(item):
     if any(m.name == "tpu" for m in item.iter_markers()):
-        import jax
-
         if jax.default_backend() not in ("tpu", "axon"):
             pytest.skip("requires a TPU device (set XR_TEST_PLATFORM=tpu)")

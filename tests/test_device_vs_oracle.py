@@ -1,0 +1,84 @@
+"""Golden parity: the device pipeline (jnp, any backend) must match the CPU
+oracle pixel-exact at 8-bit tolerance (BASELINE.json:5; SURVEY.md §4.2)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from xr.app.renderer import Renderer
+from xr.core.types import MODE_FLAT, MODE_GOURAUD, RenderConfig
+from xr.cpu_ref import render_frame
+from xr.scene.presets import config1_cube, config2_icospheres, small_preset
+
+from tests.scenes import fixed_camera, random_scene
+
+
+def _compare(oracle_frame, dev_frame, tol=1):
+    dc = np.asarray(dev_frame.color)
+    oc = np.asarray(oracle_frame.color)
+    dz = np.asarray(dev_frame.depth)
+    oz = np.asarray(oracle_frame.depth)
+    # coverage must be IDENTICAL (integer raster semantics)
+    assert ((dz == 1.0) == (oz == 1.0)).all(), "coverage mismatch"
+    np.testing.assert_allclose(dz, oz, atol=1e-6)
+    diff = np.abs(dc.astype(int) - oc.astype(int)).max()
+    assert diff <= tol, f"color max abs err {diff} > {tol}"
+    return diff
+
+
+@pytest.mark.parametrize("path", ["brute", "binned"])
+def test_config1_cube_parity(path):
+    p = config1_cube()
+    cfg = dataclasses.replace(
+        p.config, width=128, height=128, raster_path=path, tile_h=32, tile_w=32
+    )
+    cam, mm = p.animate(0.7, np)
+    scene = p.scene.replace(model_matrices=mm)
+    of = render_frame(scene, cam, cfg)
+    r = Renderer(scene, cfg)
+    df = r.readback(r.step(scene, cam))
+    assert int(df.stats["clip_overflow"]) == 0
+    assert int(df.stats["bin_overflow"]) == 0
+    _compare(of, df)
+
+
+@pytest.mark.parametrize("mode", [MODE_FLAT, MODE_GOURAUD])
+def test_random_scenes_parity(mode):
+    rng = np.random.default_rng(7 + mode)
+    scene = random_scene(rng, 12)
+    cam = fixed_camera()
+    cfg = RenderConfig(width=64, height=48, mode=mode)
+    of = render_frame(scene, cam, cfg)
+    r = Renderer(scene, cfg)
+    df = r.readback(r.step(scene, cam))
+    _compare(of, df)
+
+
+def test_brute_vs_binned_bitexact():
+    """The two jnp visibility paths must agree exactly (same semantics)."""
+    p = small_preset(config2_icospheres(), 96, 64)
+    cam, mm = p.animate(0.4, np)
+    scene = p.scene.replace(model_matrices=mm)
+    cfg_a = dataclasses.replace(p.config, width=96, height=64, raster_path="brute")
+    cfg_b = dataclasses.replace(
+        p.config, width=96, height=64, raster_path="binned", tile_h=16, tile_w=32,
+        bin_capacity=2048,
+    )
+    ra = Renderer(scene, cfg_a)
+    rb = Renderer(scene, cfg_b)
+    fa = ra.readback(ra.step(scene, cam))
+    fb = rb.readback(rb.step(scene, cam))
+    assert int(fb.stats["bin_overflow"]) == 0
+    assert (fa.color == fb.color).all()
+    assert (fa.depth == fb.depth).all()
+
+
+def test_gouraud_preset_parity_small():
+    p = small_preset(config2_icospheres(), 120, 80, bin_capacity=8192)
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+    of = render_frame(scene, cam, p.config)
+    r = Renderer(scene, p.config)
+    df = r.readback(r.step(scene, cam))
+    _compare(of, df)

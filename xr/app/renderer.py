@@ -1,0 +1,184 @@
+"""Application layer: the per-frame render step as ONE compiled XLA program.
+
+The reference's app base class pumps messages, records a command list per
+draw, and presents a swapchain (SURVEY.md §3.2). Here the entire frame —
+vertex transform, clip, setup, binning, rasterization, depth resolve,
+deferred shading, u8 resolve, and (config 4) the shadow depth pre-pass — is
+a single jitted function of (scene, camera[, light matrices]); the
+RenderConfig is the static pipeline-state argument, so each distinct config
+compiles once and is cached like a PSO (BASELINE.json:5 "whole frame compiled
+as one XLA program"; SURVEY.md §2.1 "Pipeline state").
+
+Present() is replaced by device-to-host readback + image dump
+(BASELINE.json:5), and JAX async dispatch gives frames-in-flight for free
+(SURVEY.md §2.1 "Command recording & sync").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import xr.pipeline  # noqa: F401  (pins matmul precision to f32)
+from xr.core import math3d as m3
+from xr.core import shade_math as sm
+from xr.core.types import (
+    MODE_DEPTH_ONLY,
+    MODE_PHONG,
+    Frame,
+    RenderConfig,
+    Scene,
+)
+from xr.pipeline.geometry import clip_capacity, geometry
+from xr.pipeline.shadow import light_matrices_for_scene
+from xr.raster import common as rc
+from xr.raster import jnp_backend
+from xr.shading.deferred import shade_deferred
+
+
+def _use_pallas(config: RenderConfig) -> bool:
+    if config.backend == "pallas":
+        return True
+    if config.backend == "jnp":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _visibility(tri, config: RenderConfig, capacity: int):
+    """Dispatch to the configured visibility backend. Returns
+    (tid, zbuf, bin_overflow)."""
+    path = config.raster_path
+    if path == "auto":
+        path = "brute" if capacity <= 2048 else "binned"
+    if path == "brute":
+        tid, zbuf = jnp_backend.visibility_brute(tri, config)
+        return tid, zbuf, jnp.int32(0)
+    if _use_pallas(config):
+        from xr.raster import pallas_backend
+
+        return pallas_backend.visibility_binned(tri, config)
+    return jnp_backend.visibility_binned(tri, config)
+
+
+def _depth_pass(scene, view, proj, config: RenderConfig, capacity: int):
+    tri = geometry(scene, view, proj, config, xp=jnp, capacity=capacity)
+    tid, zbuf, bin_of = _visibility(tri, config, capacity)
+    depth = jnp.where(jnp.isinf(zbuf), 1.0, zbuf).astype(jnp.float32)
+    return tri, tid, depth, bin_of
+
+
+def render_step(
+    scene: Scene,
+    camera,
+    config: RenderConfig,
+    light_view=None,
+    light_proj=None,
+    capacity: Optional[int] = None,
+) -> Frame:
+    """Pure-function frame step (trace-time metaprogram; jit via Renderer).
+
+    light_view/light_proj: host-computed shadow matrices (xr/pipeline/shadow)
+    required when config.mode == MODE_PHONG and config.shadow_map_size > 0.
+    """
+    cap = capacity or clip_capacity(scene.mesh.num_triangles, config)
+    aspect = config.width / config.height
+    view, proj = m3.camera_matrices(camera, aspect, jnp)
+
+    shadow_depth = None
+    light_viewproj = None
+    s_bin_of = jnp.int32(0)
+    if config.mode == MODE_PHONG and config.shadow_map_size > 0:
+        assert light_view is not None and light_proj is not None
+        light_viewproj = (jnp.asarray(light_proj) @ jnp.asarray(light_view)).astype(
+            jnp.float32
+        )
+        s_cfg = dataclasses.replace(
+            config,
+            width=config.shadow_map_size,
+            height=config.shadow_map_size,
+            mode=MODE_DEPTH_ONLY,
+            shadow_map_size=0,
+        )
+        _, _, shadow_depth, s_bin_of = _depth_pass(
+            scene, jnp.asarray(light_view), jnp.asarray(light_proj), s_cfg, cap
+        )
+
+    tri, tid, depth, bin_of = _depth_pass(scene, view, proj, config, cap)
+
+    stats = {
+        "tris_in": jnp.int32(scene.mesh.num_triangles),
+        "tris_setup": tri.count,
+        "clip_overflow": tri.overflow,
+        "bin_overflow": bin_of + s_bin_of,
+        "fragments_shaded": jnp.int32(config.width * config.height),
+    }
+
+    if config.mode == MODE_DEPTH_ONLY:
+        color = jnp.zeros((config.height, config.width, 3), jnp.uint8)
+        return Frame(color=color, depth=depth, stats=stats)
+
+    rgb = shade_deferred(
+        tri,
+        tid,
+        scene,
+        config,
+        eye=camera.eye,
+        shadow_depth=shadow_depth,
+        light_viewproj=light_viewproj,
+        xp=jnp,
+    )
+    return Frame(color=sm.resolve_u8(rgb, jnp), depth=depth, stats=stats)
+
+
+class Renderer:
+    """Stateful convenience wrapper: compiles `render_step` once per config
+    (the PSO analog) and renders frames from (scene, camera).
+
+    Shadow matrices are fit to the initial scene's world bounds at
+    construction (host-side) — pass `light_matrices` to override per frame.
+    """
+
+    def __init__(self, scene: Scene, config: RenderConfig):
+        self.config = config
+        self.capacity = clip_capacity(scene.mesh.num_triangles, config)
+        self._light = None
+        if config.mode == MODE_PHONG and config.shadow_map_size > 0:
+            self._light = light_matrices_for_scene(scene)
+        self._step = jax.jit(
+            functools.partial(
+                render_step, config=config, capacity=self.capacity
+            )
+        )
+
+    def step(self, scene: Scene, camera, light_matrices=None) -> Frame:
+        """Render one frame (async dispatch; block via np.asarray/readback)."""
+        lm = light_matrices or self._light
+        if lm is not None:
+            return self._step(scene, camera, light_view=lm[0], light_proj=lm[1])
+        return self._step(scene, camera)
+
+    def readback(self, frame: Frame, strict: bool = True) -> Frame:
+        """Device-to-host transfer (the Present() replacement).
+
+        strict: raise if any fixed-capacity stage overflowed and silently
+        dropped triangles (SURVEY.md §7.3.1 "fail loudly in tests").
+        """
+        out = Frame(
+            color=np.asarray(frame.color),
+            depth=np.asarray(frame.depth),
+            stats={k: np.asarray(v) for k, v in frame.stats.items()},
+        )
+        if strict:
+            for k in ("clip_overflow", "bin_overflow"):
+                n = int(out.stats.get(k, 0))
+                if n:
+                    raise RuntimeError(
+                        f"{k}={n}: triangles dropped — raise clip_expand/"
+                        "bin_capacity in RenderConfig"
+                    )
+        return out

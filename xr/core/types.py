@@ -88,6 +88,10 @@ class RenderConfig:
     # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
     backend: str = "auto"
 
+    # Visibility strategy: "brute" (all tris x all pixels, small scenes),
+    # "binned" (tile lists), or "auto" (brute below 2048 setup tris).
+    raster_path: str = "auto"
+
     # Shadow mapping (MODE_PHONG only).
     shadow_map_size: int = 0  # 0 => no shadow pass
     shadow_bias: float = 2e-3

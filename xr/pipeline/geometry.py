@@ -95,7 +95,7 @@ def _row_scatter(dst, rows, cols, src, mask, xp):
         return out[:, :ncols]
     import jax.numpy as jnp
 
-    pad = [(0, 1)] + [(0, 0)] * (dst.ndim - 1)
+    pad = [(0, 0), (0, 1)] + [(0, 0)] * (dst.ndim - 2)
     out = jnp.pad(dst, pad)
     r = jnp.broadcast_to(rows, cols.shape)
     out = out.at[r, cols].set(src, mode="drop")

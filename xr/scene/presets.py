@@ -121,7 +121,7 @@ def config2_icospheres() -> Preset:
         )
         return cam, xp.asarray(_identity_mats(), xp.float32)
 
-    cfg = RenderConfig(width=1920, height=1080, mode=MODE_GOURAUD)
+    cfg = RenderConfig(width=1920, height=1080, mode=MODE_GOURAUD, bin_capacity=4096)
     return Preset("config2_icospheres", scene, animate, cfg)
 
 
@@ -163,7 +163,7 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
         )
         return cam, xp.asarray(_identity_mats(), xp.float32)
 
-    cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED)
+    cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED, bin_capacity=4096)
     return Preset("config3_terrain", scene, animate, cfg)
 
 
@@ -228,7 +228,8 @@ def config4_phong() -> Preset:
         return cam, xp.asarray(_identity_mats(), xp.float32)
 
     cfg = RenderConfig(
-        width=1920, height=1080, mode=MODE_PHONG, shadow_map_size=1024
+        width=1920, height=1080, mode=MODE_PHONG, shadow_map_size=1024,
+        bin_capacity=4096
     )
     return Preset("config4_phong", scene, animate, cfg)
 
@@ -289,7 +290,7 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         height=1080,
         mode=MODE_TEXTURED,
         num_shards=4,
-        bin_capacity=4096,
+        bin_capacity=16384,
     )
     return Preset("config5_flythrough", scene, animate, cfg)
 
