@@ -1,0 +1,64 @@
+"""Headline benchmark: config 3 — textured ~100k-tri terrain @ 1920x1080
+(BASELINE.json:9) on the local TPU. Prints ONE JSON line.
+
+vs_baseline is fps / 60: the north-star target is >=60 fps on this scene
+class (BASELINE.json:5 — target hardware is v5p; this box is v5 lite, so
+record but don't conflate, SURVEY.md §7.4).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main(frames: int = 30):
+    import jax
+    import jax.numpy as jnp
+
+    from xr.app.renderer import Renderer
+    from xr.scene.presets import config3_terrain
+
+    p = config3_terrain()
+    scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
+
+    r = Renderer(scene, p.config)
+
+    def frame_at(t):
+        cam, mm = p.animate(t, jnp)
+        return r.step(scene.replace(model_matrices=mm), cam)
+
+    # compile + warmup (the PSO build; SURVEY.md §3.1)
+    f = frame_at(0.0)
+    jax.block_until_ready(f.color)
+    stats = {k: int(np.asarray(v)) for k, v in f.stats.items()}
+    assert stats["clip_overflow"] == 0 and stats["bin_overflow"] == 0, stats
+
+    times = []
+    last = None
+    t0 = time.perf_counter()
+    for i in range(frames):
+        last = frame_at(0.05 * (i + 1))
+    jax.block_until_ready(last.color)
+    dt = (time.perf_counter() - t0) / frames
+
+    fps = 1.0 / dt
+    mpix = (p.config.width * p.config.height) * fps / 1e6
+    result = {
+        "metric": "config3_textured_100k_tris_1080p_fps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+        "extra": {
+            "mpixels_shaded_per_s": round(mpix, 1),
+            "ms_per_frame": round(dt * 1e3, 2),
+            "tris_setup": stats["tris_setup"],
+            "device": str(jax.devices()[0]),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Example frame-loop runner: the reference's app main loop (pump -> update
+-> render -> present, SURVEY.md §3.2) as a headless script. Present() is a
+device-to-host readback + PNG dump (BASELINE.json:5).
+
+Usage:
+  python examples/run.py config1 --frames 30 --out /tmp/xr_out
+  python examples/run.py config3 --frames 60 --profile
+  python examples/run.py config5 --shards 4        # needs >=4 devices
+  python examples/run.py config2 --oracle          # render via CPU oracle
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("preset", choices=[f"config{i}" for i in range(1, 6)])
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--dump-every", type=int, default=0, help="PNG every N frames")
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--shards", type=int, default=0)
+    ap.add_argument("--oracle", action="store_true", help="use the CPU reference")
+    ap.add_argument("--profile", action="store_true", help="jax profiler trace")
+    ap.add_argument("--dt", type=float, default=1.0 / 30.0)
+    args = ap.parse_args()
+
+    from xr.scene.presets import ALL_PRESETS
+    from xr.core.image import write_png
+
+    p = ALL_PRESETS[args.preset]()
+    cfg = p.config
+    if args.width and args.height:
+        cfg = dataclasses.replace(cfg, width=args.width, height=args.height)
+    if args.shards:
+        cfg = dataclasses.replace(cfg, num_shards=args.shards)
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    if args.oracle:
+        from xr.cpu_ref import render_frame
+
+        def make_step():
+            def step(t):
+                cam, mm = p.animate(t, np)
+                return render_frame(p.scene.replace(model_matrices=mm), cam, cfg)
+
+            return step, lambda f: f
+
+        step, readback = make_step()
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
+        if cfg.num_shards > 1:
+            from xr.dist.shard import ShardedRenderer
+
+            r = ShardedRenderer(scene, cfg)
+        else:
+            from xr.app.renderer import Renderer
+
+            r = Renderer(scene, cfg)
+
+        def step(t):
+            cam, mm = p.animate(t, jnp)
+            return r.step(scene.replace(model_matrices=mm), cam)
+
+        def readback(f):
+            jax.block_until_ready(f.color)
+            from xr.core.types import Frame
+
+            return Frame(
+                color=np.asarray(f.color),
+                depth=np.asarray(f.depth),
+                stats={k: int(np.asarray(v)) for k, v in f.stats.items()},
+            )
+
+    # warmup/compile frame
+    t_compile = time.perf_counter()
+    f = readback(step(0.0))
+    print(
+        json.dumps(
+            {
+                "event": "first_frame",
+                "compile_s": round(time.perf_counter() - t_compile, 2),
+                "stats": {k: int(v) for k, v in f.stats.items()},
+            }
+        )
+    )
+
+    prof_ctx = None
+    if args.profile:
+        import jax
+
+        prof_dir = args.out or "/tmp/xr_profile"
+        jax.profiler.start_trace(prof_dir)
+        prof_ctx = prof_dir
+
+    t0 = time.perf_counter()
+    last = None
+    for i in range(args.frames):
+        t = args.dt * i
+        frame = step(t)
+        if args.dump_every and i % args.dump_every == 0:
+            fr = readback(frame)
+            write_png(os.path.join(args.out, f"{args.preset}_{i:04d}.png"), fr.color)
+        last = frame
+    fr = readback(last)
+    dt = (time.perf_counter() - t0) / max(args.frames, 1)
+
+    if prof_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(json.dumps({"event": "profile", "dir": prof_ctx}))
+
+    if args.out:
+        write_png(os.path.join(args.out, f"{args.preset}_final.png"), fr.color)
+
+    print(
+        json.dumps(
+            {
+                "event": "done",
+                "preset": args.preset,
+                "frames": args.frames,
+                "ms_per_frame": round(dt * 1e3, 2),
+                "fps": round(1.0 / dt, 2),
+                "mpixels_shaded_per_s": round(
+                    cfg.width * cfg.height / dt / 1e6, 1
+                ),
+                "stats": {k: int(v) for k, v in fr.stats.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Multi-chip screen-band sharding tests on a virtual CPU device mesh
+(SURVEY.md §4.2: "tile-sharded frame must equal the single-device frame
+bit-for-bit")."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from xr.app.renderer import Renderer
+from xr.dist.shard import ShardedRenderer
+from xr.scene.presets import config2_icospheres, config4_phong, small_preset
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 (virtual) devices"
+)
+
+
+def _frames(preset, num_shards, t=0.2):
+    cam, mm = preset.animate(t, np)
+    scene = preset.scene.replace(model_matrices=mm)
+    cfg1 = dataclasses.replace(preset.config, num_shards=1, raster_path="binned")
+    cfgn = dataclasses.replace(
+        preset.config, num_shards=num_shards, raster_path="binned"
+    )
+    single = Renderer(scene, cfg1)
+    f1 = single.readback(single.step(scene, cam))
+    multi = ShardedRenderer(scene, cfgn)
+    fn = multi.step(scene, cam)
+    return f1, fn
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_sharded_equals_single_device(n):
+    p = small_preset(
+        config2_icospheres(), 96, 64, tile_h=16, tile_w=32, bin_capacity=8192
+    )
+    f1, fn = _frames(p, n)
+    assert int(fn.stats["bin_overflow"]) == 0
+    assert (np.asarray(fn.color) == f1.color).all(), "sharded color differs"
+    assert (np.asarray(fn.depth) == f1.depth).all(), "sharded depth differs"
+
+
+def test_sharded_two_pass_phong():
+    """Full two-pass frame (shadow depth pre-pass + main pass) sharded."""
+    p = small_preset(
+        config4_phong(), 64, 48, tile_h=16, tile_w=32,
+        bin_capacity=8192, shadow_map_size=64,
+    )
+    f1, fn = _frames(p, 4)
+    assert (np.asarray(fn.color) == f1.color).all()
+    assert (np.asarray(fn.depth) == f1.depth).all()

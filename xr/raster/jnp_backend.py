@@ -39,11 +39,15 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def visibility_brute(
-    tri: TriBuf, config: RenderConfig, chunk: int = 32
+    tri: TriBuf, config: RenderConfig, chunk: int = 32, y_offset=0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tid (H,W) i32, zbuf (H,W) f32 with +inf background)."""
+    """Returns (tid (H,W) i32, zbuf (H,W) f32 with +inf background).
+
+    y_offset (may be traced): this framebuffer is rows [y_offset,
+    y_offset+H) of the full frame (sharded bands, SURVEY.md §5.8)."""
     H, W = config.height, config.width
     px, py = rc.pixel_grids(W, H, config.subpixel, jnp)
+    py = py + jnp.asarray(y_offset, jnp.int32) * config.subpixel
 
     C = tri.capacity
     Cp = _pad_to(C, chunk)
@@ -95,7 +99,7 @@ def visibility_brute(
 
 
 def bin_triangles(
-    tri: TriBuf, config: RenderConfig, chunk: int = 4096
+    tri: TriBuf, config: RenderConfig, chunk: int = 4096, y_offset=0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Build fixed-capacity per-tile triangle lists by scan-compaction.
 
@@ -125,10 +129,11 @@ def bin_triangles(
     max_x = jnp.max(tri.xs, axis=1)
     min_y = jnp.min(tri.ys, axis=1)
     max_y = jnp.max(tri.ys, axis=1)
+    yo = jnp.asarray(y_offset, jnp.int32)
     ix0 = jnp.maximum(0, -(-(min_x - half) // sub))
     ix1 = jnp.minimum(config.width - 1, (max_x - half) // sub)
-    iy0 = jnp.maximum(0, -(-(min_y - half) // sub))
-    iy1 = jnp.minimum(config.height - 1, (max_y - half) // sub)
+    iy0 = jnp.maximum(0, -(-(min_y - half) // sub) - yo)
+    iy1 = jnp.minimum(config.height - 1, (max_y - half) // sub - yo)
     tvalid = tri.valid & (ix1 >= ix0) & (iy1 >= iy0)
     tx0 = pad(ix0 // TW).reshape(nk, chunk)
     tx1 = pad(ix1 // TW).reshape(nk, chunk)
@@ -165,10 +170,12 @@ def bin_triangles(
         new_dropped = dropped + (mask & (dest >= cap)).sum()
         return (lists_p[:, :cap], new_counts, new_dropped), None
 
-    lists0 = jnp.full((ntiles, cap), LIST_EMPTY, jnp.int32)
-    counts0 = jnp.zeros((ntiles,), jnp.int32)
+    # `+ 0 * yo` makes the initial carries inherit y_offset's device-varying
+    # type under shard_map (scan carries must match input varyingness).
+    lists0 = jnp.full((ntiles, cap), LIST_EMPTY, jnp.int32) + 0 * yo
+    counts0 = jnp.zeros((ntiles,), jnp.int32) + 0 * yo
     (lists, counts, dropped), _ = jax.lax.scan(
-        step, (lists0, counts0, jnp.int32(0)), (tx0, tx1, ty0, ty1, val, ids)
+        step, (lists0, counts0, jnp.int32(0) + 0 * yo), (tx0, tx1, ty0, ty1, val, ids)
     )
     return lists, jnp.minimum(counts, cap), dropped
 
@@ -196,7 +203,7 @@ def visibility_binned(
     ntiles = ntx * nty
     sub = config.subpixel
 
-    lists, counts, dropped = bin_triangles(tri, config)
+    lists, counts, dropped = bin_triangles(tri, config, y_offset=y_offset)
     cap = lists.shape[1]
     kchunks = _pad_to(cap, chunk) // chunk
     if kchunks * chunk != cap:
@@ -245,8 +252,12 @@ def visibility_binned(
         upd = rc.resolve_better(z_new, id_new, zb, tb, jnp)
         return (jnp.where(upd, z_new, zb), jnp.where(upd, id_new, tb)), None
 
-    zb0 = jnp.full((ntiles, TH, TW), rc.BG_DEPTH, jnp.float32)
-    tb0 = jnp.full((ntiles, TH, TW), BG, jnp.int32)
+    # inherit y_offset's device-varying type (see bin_triangles)
+    yvar = 0 * jnp.asarray(y_offset, jnp.int32)
+    zb0 = jnp.full((ntiles, TH, TW), rc.BG_DEPTH, jnp.float32) + yvar.astype(
+        jnp.float32
+    )
+    tb0 = jnp.full((ntiles, TH, TW), BG, jnp.int32) + yvar
     (zb, tb), _ = jax.lax.scan(step, (zb0, tb0), lists_s)
 
     def untile(a):

@@ -58,8 +58,7 @@ def shade_deferred(
     H, W = tid.shape
     if px is None or py is None:
         px, py = pixel_grids(W, H, config.subpixel, xp)
-        if y_offset:
-            py = py + y_offset * config.subpixel
+        py = py + xp.asarray(y_offset, xp.int32) * config.subpixel
 
     bg = tid == BG_TRI_ID
     t = xp.where(bg, 0, tid)
