@@ -26,9 +26,19 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def write_png(path: str, image: np.ndarray) -> None:
-    """Write (H, W, 3) or (H, W) uint8 image as PNG."""
+    """Write (H, W, 3) or (H, W) uint8 image as PNG.
+
+    Prefers the native C++ encoder (xr/native) and falls back to pure
+    Python; both produce standard non-interlaced 8-bit RGB PNGs."""
     img = np.asarray(image)
     assert img.dtype == np.uint8, f"expected uint8, got {img.dtype}"
+    try:
+        from xr.native import api as _native
+
+        if _native.write_png(path, img):
+            return
+    except Exception:
+        pass
     if img.ndim == 2:
         img = img[:, :, None].repeat(3, axis=2)
     h, w, c = img.shape

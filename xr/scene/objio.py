@@ -1,0 +1,152 @@
+"""OBJ mesh loading (the reference's mesh-file path, SURVEY.md §2.1
+"Mesh loading/processing": OBJ-class parser -> SoA vertex/index arrays).
+
+Uses the native C++ parser (xr/native) when available; the pure-Python
+parser below is the fallback AND the parity oracle for the native one.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from xr.core.types import Mesh
+
+
+def _python_parse(path: str):
+    vs: List[Tuple[float, float, float]] = []
+    vts: List[Tuple[float, float]] = []
+    vns: List[Tuple[float, float, float]] = []
+    out_pos, out_uv, out_nrm = [], [], []
+    out_idx, out_mat = [], []
+    dedup = {}
+    mat_ids = {}
+    mat_order: List[str] = []
+    cur_mat = 0
+
+    def fix(idx: int, count: int) -> int:
+        if idx > 0:
+            return idx - 1
+        if idx < 0:
+            return count + idx
+        return -1
+
+    def vertex(key):
+        if key in dedup:
+            return dedup[key]
+        vid = len(out_pos)
+        dedup[key] = vid
+        v, t, n = key
+        out_pos.append(vs[v] if 0 <= v < len(vs) else (0.0, 0.0, 0.0))
+        out_uv.append(vts[t] if 0 <= t < len(vts) else (0.0, 0.0))
+        out_nrm.append(vns[n] if 0 <= n < len(vns) else (0.0, 0.0, 1.0))
+        return vid
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("v "):
+                p = s.split()
+                vs.append((float(p[1]), float(p[2]), float(p[3])))
+            elif s.startswith("vt "):
+                p = s.split()
+                vts.append((float(p[1]), float(p[2])))
+            elif s.startswith("vn "):
+                p = s.split()
+                vns.append((float(p[1]), float(p[2]), float(p[3])))
+            elif s.startswith("f "):
+                corners = []
+                for tok in s.split()[1:]:
+                    if tok.startswith("#"):
+                        break
+                    parts = tok.split("/")
+                    vi = fix(int(parts[0]), len(vs))
+                    ti = (
+                        fix(int(parts[1]), len(vts))
+                        if len(parts) > 1 and parts[1]
+                        else -1
+                    )
+                    ni = (
+                        fix(int(parts[2]), len(vns))
+                        if len(parts) > 2 and parts[2]
+                        else -1
+                    )
+                    corners.append(vertex((vi, ti, ni)))
+                for i in range(2, len(corners)):
+                    out_idx.append((corners[0], corners[i - 1], corners[i]))
+                    out_mat.append(cur_mat)
+            elif s.startswith("usemtl"):
+                name = s[6:].strip()
+                if name not in mat_ids:
+                    cur_mat = len(mat_order)
+                    mat_ids[name] = cur_mat
+                    mat_order.append(name)
+                else:
+                    cur_mat = mat_ids[name]
+
+    if not mat_order:
+        mat_order = ["default"]
+    return {
+        "positions": np.asarray(out_pos, np.float32).reshape(-1, 3),
+        "normals": np.asarray(out_nrm, np.float32).reshape(-1, 3),
+        "uvs": np.asarray(out_uv, np.float32).reshape(-1, 2),
+        "indices": np.asarray(out_idx, np.int32).reshape(-1, 3),
+        "face_mat": np.asarray(out_mat, np.int32),
+        "materials": mat_order,
+    }
+
+
+def parse_obj(path: str, native: bool = True):
+    """Parse an OBJ file into raw arrays (native C++ if available)."""
+    if native:
+        from xr.native import api
+
+        result = api.parse_obj(path)
+        if result is not None:
+            return result
+    return _python_parse(path)
+
+
+def load_obj(path: str, native: bool = True) -> Tuple[Mesh, List[str]]:
+    """Load an OBJ file as an xr Mesh. Missing normals are computed as
+    area-weighted vertex normals. Returns (mesh, material_names)."""
+    r = parse_obj(path, native=native)
+    pos, nrm = r["positions"], r["normals"]
+    idx = r["indices"]
+    if (np.abs(nrm).sum(axis=1) == 0).any() or nrm.shape[0] == 0:
+        nrm = compute_vertex_normals(pos, idx)
+    mesh = Mesh(
+        positions=pos,
+        normals=nrm,
+        uvs=r["uvs"],
+        indices=idx,
+        material_id=r["face_mat"],
+        transform_id=np.zeros(pos.shape[0], np.int32),
+    )
+    return mesh, r["materials"]
+
+
+def compute_vertex_normals(pos: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals."""
+    n = np.zeros_like(pos)
+    p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    for k in range(3):
+        np.add.at(n, idx[:, k], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(ln, 1e-20)).astype(np.float32)
+
+
+def save_obj(path: str, mesh: Mesh) -> None:
+    """Minimal OBJ writer (round-trip/testing)."""
+    with open(path, "w") as f:
+        for p in np.asarray(mesh.positions):
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for t in np.asarray(mesh.uvs):
+            f.write(f"vt {t[0]} {t[1]}\n")
+        for nr in np.asarray(mesh.normals):
+            f.write(f"vn {nr[0]} {nr[1]} {nr[2]}\n")
+        for tri in np.asarray(mesh.indices):
+            a, b, c = (int(i) + 1 for i in tri)
+            f.write(f"f {a}/{a}/{a} {b}/{b}/{b} {c}/{c}/{c}\n")
