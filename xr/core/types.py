@@ -82,7 +82,11 @@ class RenderConfig:
     # Screen-tile binning (0 => brute force over all triangles, no binning).
     tile_h: int = 64
     tile_w: int = 128
-    bin_capacity: int = 256  # max triangles binned per tile
+    bin_capacity: int = 256  # max small triangles binned per tile
+    # Triangles spanning more than 2x2 tiles go to a global "large" bucket
+    # evaluated by every tile (with a per-tile bbox reject); this keeps the
+    # per-triangle bin fan-out statically bounded (SURVEY.md §7.3.1).
+    large_capacity: int = 1024
 
     # Raster backend: "jnp" (portable, runs on CPU mesh tests) or "pallas"
     # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).

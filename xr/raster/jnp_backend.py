@@ -3,19 +3,25 @@
 These produce the per-pixel visibility buffer (winning triangle id + depth)
 with EXACTLY the semantics of xr/raster/common.py — the same results as the
 CPU oracle's bbox loop and the Pallas TPU kernel, bit-for-bit, because
-coverage is integer math and the resolve order is a lexicographic (z, id)
-min (order-independent; SURVEY.md §5.2 determinism).
+coverage is integer math and the resolve is a lexicographic (z, id) min
+(order-independent; SURVEY.md §5.2 determinism).
 
-The jnp path is the portable fallback that runs on the CPU backend, which is
-what makes multi-chip sharding testable without a pod (SURVEY.md §4.2:
-"Pallas TPU kernels don't run on the CPU backend — keep a pure-jnp raster
-path"). It is also a perfectly respectable TPU program: everything compiles
-to fused VPU loops over (tiles, K, th, tw) blocks.
+Binning is SORT-based and scatter-free (XLA TPU scatters serialize; sorts
+and gathers vectorize): each triangle emits at most 4 (tile, id) pairs (its
+bbox spans <= 2x2 tiles, or it goes to a global "large" bucket that every
+tile scans with a cheap bbox reject). Pairs are sorted by a packed
+(tile << idbits | id) key, per-tile segments fall out contiguous and
+id-ascending, and per-tile lists are pure gathers from the sorted array
+(SURVEY.md §7.3.1: fixed capacities + loud overflow counters).
+
+The jnp path runs on the CPU backend, which is what makes multi-chip
+sharding testable without a pod (SURVEY.md §4.2); it is also the portable
+fallback for the Pallas kernel (xr/raster/pallas_backend.py).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,17 +31,37 @@ from xr.pipeline.geometry import TriBuf
 from xr.raster import common as rc
 
 BG = rc.BG_TRI_ID
-LIST_EMPTY = jnp.int32(2**30)  # bin-list sentinel (any id >= capacity works)
+LIST_EMPTY = jnp.int32(2**30)  # list sentinel (any id >= capacity works)
 
 
 def _pad_to(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def grid_dims(config: RenderConfig) -> Tuple[int, int]:
+    return (
+        _pad_to(config.height, config.tile_h) // config.tile_h,
+        _pad_to(config.width, config.tile_w) // config.tile_w,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Brute force: every triangle vs every pixel, in chunks (config 1 scale;
 # SURVEY.md §7.2 step 2).
 # ---------------------------------------------------------------------------
+
+
+def _chunk_best(zf, cids, xp=jnp):
+    """Lexicographic (z, id) min across a chunk axis (axis 0 of zf).
+
+    zf: (K, ...) with +inf where uncovered; cids: (K,) int32.
+    Order-independent: among equal-z entries the smallest id wins.
+    """
+    z_min = zf.min(axis=0)
+    bshape = (cids.shape[0],) + (1,) * (zf.ndim - 1)
+    ids_b = cids.reshape(bshape)
+    id_min = jnp.where(zf == z_min[None], ids_b, BG).min(axis=0)
+    return z_min, jnp.where(jnp.isinf(z_min), BG, id_min)
 
 
 def visibility_brute(
@@ -77,10 +103,7 @@ def visibility_brute(
         )  # (chunk, H, W)
         mask = mask & cvalid[:, None, None]
         zf = jnp.where(mask, zf, rc.BG_DEPTH)
-        # first-min along chunk == lowest id among equal z (ids ascending)
-        k = jnp.argmin(zf, axis=0)
-        z_new = jnp.take_along_axis(zf, k[None], axis=0)[0]
-        id_new = jnp.where(jnp.isinf(z_new), BG, cids[k])
+        z_new, id_new = _chunk_best(zf, cids)
         upd = rc.resolve_better(z_new, id_new, zb, tb, jnp)
         return (
             jnp.where(upd, z_new, zb),
@@ -94,90 +117,120 @@ def visibility_brute(
 
 
 # ---------------------------------------------------------------------------
-# Binning: triangles -> per-screen-tile lists (SURVEY.md §3.5 "bin")
+# Sort-based binning: triangles -> per-screen-tile lists + global "large"
+# bucket (SURVEY.md §3.5 "bin")
 # ---------------------------------------------------------------------------
 
 
-def bin_triangles(
-    tri: TriBuf, config: RenderConfig, chunk: int = 4096, y_offset=0
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Build fixed-capacity per-tile triangle lists by scan-compaction.
+class BinResult(NamedTuple):
+    lists: jnp.ndarray  # (ntiles, cap) i32 small-tri ids, LIST_EMPTY-padded
+    counts: jnp.ndarray  # (ntiles,) i32 (<= cap)
+    large_ids: jnp.ndarray  # (lcap,) i32, LIST_EMPTY-padded
+    large_count: jnp.ndarray  # () i32 (<= lcap)
+    dropped: jnp.ndarray  # () i32 — entries lost to capacity overflow
 
-    Returns (lists (ntiles, cap) i32 [LIST_EMPTY-filled], counts (ntiles,),
-    overflow () i32 = total dropped list entries). Entries within a tile are
-    in ascending triangle order, preserving resolve determinism.
-    """
+
+def _tile_ranges(tri: TriBuf, config: RenderConfig, y_offset):
+    """Per-triangle tile bbox ranges, clamped to this band's tile grid."""
+    nty, ntx = grid_dims(config)
     TH, TW = config.tile_h, config.tile_w
-    ntx = _pad_to(config.width, TW) // TW
-    nty = _pad_to(config.height, TH) // TH
-    ntiles = ntx * nty
-    cap = config.bin_capacity
     sub = config.subpixel
     half = sub // 2
+    yo = jnp.asarray(y_offset, jnp.int32)
 
-    C = tri.capacity
-    Cp = _pad_to(C, chunk)
-    nk = Cp // chunk
-
-    def pad(a, fill=0):
-        return jnp.concatenate(
-            [a, jnp.full((Cp - C,) + a.shape[1:], fill, a.dtype)], axis=0
-        )
-
-    # triangle bbox -> pixel range -> tile range (matches oracle bbox rule)
     min_x = jnp.min(tri.xs, axis=1)
     max_x = jnp.max(tri.xs, axis=1)
     min_y = jnp.min(tri.ys, axis=1)
     max_y = jnp.max(tri.ys, axis=1)
-    yo = jnp.asarray(y_offset, jnp.int32)
-    ix0 = jnp.maximum(0, -(-(min_x - half) // sub))
-    ix1 = jnp.minimum(config.width - 1, (max_x - half) // sub)
-    iy0 = jnp.maximum(0, -(-(min_y - half) // sub) - yo)
-    iy1 = jnp.minimum(config.height - 1, (max_y - half) // sub - yo)
-    tvalid = tri.valid & (ix1 >= ix0) & (iy1 >= iy0)
-    tx0 = pad(ix0 // TW).reshape(nk, chunk)
-    tx1 = pad(ix1 // TW).reshape(nk, chunk)
-    ty0 = pad(iy0 // TH).reshape(nk, chunk)
-    ty1 = pad(iy1 // TH).reshape(nk, chunk)
-    val = pad(tvalid, False).reshape(nk, chunk)
-    ids = jnp.arange(Cp, dtype=jnp.int32).reshape(nk, chunk)
+    # pixel ranges (matches the oracle bbox rule), then tile ranges
+    ix0 = -(-(min_x - half) // sub)
+    ix1 = (max_x - half) // sub
+    iy0 = -(-(min_y - half) // sub) - yo
+    iy1 = (max_y - half) // sub - yo
+    tx0 = jnp.clip(ix0 // TW, 0, ntx - 1)
+    tx1 = jnp.clip(ix1 // TW, 0, ntx - 1)
+    ty0 = jnp.clip(iy0 // TH, 0, nty - 1)
+    ty1 = jnp.clip(iy1 // TH, 0, nty - 1)
+    valid = (
+        tri.valid
+        & (ix1 >= jnp.maximum(ix0, 0))
+        & (ix0 <= config.width - 1)
+        & (iy1 >= jnp.maximum(iy0, 0))
+        & (iy0 <= config.height - 1)
+    )
+    return tx0, tx1, ty0, ty1, valid
 
-    txs = jnp.arange(ntx, dtype=jnp.int32)
-    tys = jnp.arange(nty, dtype=jnp.int32)
-    tile_idx = jnp.broadcast_to(
-        jnp.arange(ntiles, dtype=jnp.int32)[None, :], (chunk, ntiles)
+
+def bin_triangles(
+    tri: TriBuf, config: RenderConfig, y_offset=0
+) -> BinResult:
+    """Scatter-free binning: pair emission -> sort -> segment gather."""
+    nty, ntx = grid_dims(config)
+    ntiles = ntx * nty
+    cap = config.bin_capacity
+    lcap = config.large_capacity
+    C = tri.capacity
+
+    tx0, tx1, ty0, ty1, valid = _tile_ranges(tri, config, y_offset)
+    small = (tx1 <= tx0 + 1) & (ty1 <= ty0 + 1)
+    ids = jnp.arange(C, dtype=jnp.int32)
+
+    idbits = max(1, int(C - 1).bit_length())
+    assert (ntiles << idbits) < 2**31 - 1, (
+        f"sort key overflow: ntiles={ntiles}, capacity={C} — use larger "
+        "tiles or fewer triangles per frame"
     )
 
-    def step(carry, inp):
-        lists, counts, dropped = carry
-        cx0, cx1, cy0, cy1, cval, cids = inp
-        mx = (txs[None, :] >= cx0[:, None]) & (txs[None, :] <= cx1[:, None])
-        my = (tys[None, :] >= cy0[:, None]) & (tys[None, :] <= cy1[:, None])
-        mask = (my[:, :, None] & mx[:, None, :]).reshape(chunk, ntiles)
-        mask = mask & cval[:, None]
-        mi = mask.astype(jnp.int32)
-        excl = jnp.cumsum(mi, axis=0) - mi
-        dest = counts[None, :] + excl  # (chunk, ntiles)
-        ok = mask & (dest < cap)
-        dest_safe = jnp.where(ok, dest, cap)  # cap column = discard pad
-        lists_p = jnp.concatenate(
-            [lists, jnp.full((ntiles, 1), LIST_EMPTY, jnp.int32)], axis=1
-        )
-        lists_p = lists_p.at[tile_idx, dest_safe].set(
-            jnp.broadcast_to(cids[:, None], (chunk, ntiles)), mode="drop"
-        )
-        new_counts = counts + mi.sum(axis=0)
-        new_dropped = dropped + (mask & (dest >= cap)).sum()
-        return (lists_p[:, :cap], new_counts, new_dropped), None
+    # <= 4 (tile, id) pairs per small triangle; duplicates masked out
+    sm = valid & small
+    t00 = ty0 * ntx + tx0
+    t01 = ty0 * ntx + tx1
+    t10 = ty1 * ntx + tx0
+    t11 = ty1 * ntx + tx1
+    m00 = sm
+    m01 = sm & (tx1 > tx0)
+    m10 = sm & (ty1 > ty0)
+    m11 = sm & (tx1 > tx0) & (ty1 > ty0)
+    pair_tile = jnp.stack(
+        [
+            jnp.where(m00, t00, ntiles),
+            jnp.where(m01, t01, ntiles),
+            jnp.where(m10, t10, ntiles),
+            jnp.where(m11, t11, ntiles),
+        ],
+        axis=1,
+    )  # (C, 4); sentinel tile == ntiles sorts last
+    keys = (pair_tile << idbits) | ids[:, None]
+    skeys = jnp.sort(keys.reshape(-1))
+    stile = skeys >> idbits
+    sid = (skeys & ((1 << idbits) - 1)).astype(jnp.int32)
 
-    # `+ 0 * yo` makes the initial carries inherit y_offset's device-varying
-    # type under shard_map (scan carries must match input varyingness).
-    lists0 = jnp.full((ntiles, cap), LIST_EMPTY, jnp.int32) + 0 * yo
-    counts0 = jnp.zeros((ntiles,), jnp.int32) + 0 * yo
-    (lists, counts, dropped), _ = jax.lax.scan(
-        step, (lists0, counts0, jnp.int32(0) + 0 * yo), (tx0, tx1, ty0, ty1, val, ids)
+    tgt = jnp.arange(ntiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(stile, tgt, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(stile, tgt, side="right").astype(jnp.int32)
+    raw_counts = ends - starts
+    counts = jnp.minimum(raw_counts, cap)
+
+    col = jnp.arange(cap, dtype=jnp.int32)
+    gidx = jnp.clip(starts[:, None] + col[None, :], 0, skeys.shape[0] - 1)
+    lists = jnp.where(col[None, :] < counts[:, None], sid[gidx], LIST_EMPTY)
+
+    # global large bucket (sorted ascending => resolve determinism for free)
+    lkeys = jnp.where(valid & ~small, ids, LIST_EMPTY)
+    lsorted = jnp.sort(lkeys)
+    large_count_raw = jnp.sum((valid & ~small).astype(jnp.int32))
+    large_count = jnp.minimum(large_count_raw, lcap)
+    if lcap >= C:
+        large_ids = jnp.concatenate(
+            [lsorted, jnp.full((lcap - C,), LIST_EMPTY, jnp.int32)]
+        )
+    else:
+        large_ids = lsorted[:lcap]
+
+    dropped = jnp.sum(jnp.maximum(raw_counts - cap, 0)) + jnp.maximum(
+        large_count_raw - lcap, 0
     )
-    return lists, jnp.minimum(counts, cap), dropped
+    return BinResult(lists, counts, large_ids, large_count, dropped.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +242,7 @@ def visibility_binned(
     tri: TriBuf,
     config: RenderConfig,
     chunk: int = 8,
-    y_offset: int = 0,
+    y_offset=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tid (H,W), zbuf (H,W), bin_overflow ()).
 
@@ -198,67 +251,64 @@ def visibility_binned(
     """
     H, W = config.height, config.width
     TH, TW = config.tile_h, config.tile_w
-    ntx = _pad_to(W, TW) // TW
-    nty = _pad_to(H, TH) // TH
+    nty, ntx = grid_dims(config)
     ntiles = ntx * nty
     sub = config.subpixel
 
-    lists, counts, dropped = bin_triangles(tri, config, y_offset=y_offset)
-    cap = lists.shape[1]
-    kchunks = _pad_to(cap, chunk) // chunk
-    if kchunks * chunk != cap:
-        lists = jnp.concatenate(
-            [lists, jnp.full((ntiles, kchunks * chunk - cap), LIST_EMPTY, jnp.int32)],
-            axis=1,
-        )
-    lists_s = lists.reshape(ntiles, kchunks, chunk).transpose(1, 0, 2)
+    b = bin_triangles(tri, config, y_offset=y_offset)
 
     # per-tile pixel grids (ntiles, TH, TW), in FULL-frame fixed coords
     tyi = jnp.arange(nty * TH, dtype=jnp.int32)
     txi = jnp.arange(ntx * TW, dtype=jnp.int32)
     pxf = txi * sub + sub // 2
-    pyf = (tyi + y_offset) * sub + sub // 2
-    px = (
-        pxf.reshape(1, ntx, 1, TW)
-        .repeat(nty, axis=0)
-        .reshape(ntiles, 1, TW)
-    )
-    py = (
-        pyf.reshape(nty, 1, TH, 1)
-        .repeat(ntx, axis=1)
-        .reshape(ntiles, TH, 1)
-    )
+    pyf = (tyi + jnp.asarray(y_offset, jnp.int32)) * sub + sub // 2
+    px = pxf.reshape(1, ntx, 1, TW).repeat(nty, axis=0).reshape(ntiles, 1, TW)
+    py = pyf.reshape(nty, 1, TH, 1).repeat(ntx, axis=1).reshape(ntiles, TH, 1)
 
     C = tri.capacity
 
-    def step(carry, cids):
-        zb, tb = carry  # (ntiles, TH, TW)
-        safe = jnp.minimum(cids, C - 1)
-        ok = (cids < C)[:, :, None, None]
-        cxs = tri.xs[safe][:, :, None, None, :]  # (ntiles, chunk, 1, 1, 3)
-        cys = tri.ys[safe][:, :, None, None, :]
-        cz = tri.z[safe][:, :, None, None, :]
-        mask, zf = rc.tri_fragment(
-            cxs, cys, cz, px[:, None, :, :], py[:, None, :, :], xp=jnp
-        )  # (ntiles, chunk, TH, TW)
-        mask = mask & ok
-        zf = jnp.where(mask, zf, rc.BG_DEPTH)
-        k = jnp.argmin(zf, axis=1)  # first min == lowest id (list ordered)
-        z_new = jnp.take_along_axis(zf, k[:, None], axis=1)[:, 0]
-        id_new = jnp.take_along_axis(cids, k.reshape(ntiles, -1), axis=1).reshape(
-            z_new.shape
-        )
-        id_new = jnp.where(jnp.isinf(z_new), BG, id_new)
-        upd = rc.resolve_better(z_new, id_new, zb, tb, jnp)
-        return (jnp.where(upd, z_new, zb), jnp.where(upd, id_new, tb)), None
+    def scan_lists(carry, list_arr):
+        """Fold one (ntiles, L) id-list array into the (zb, tb) carry."""
+        L = list_arr.shape[1]
+        Lp = _pad_to(L, chunk)
+        if Lp != L:
+            list_arr = jnp.concatenate(
+                [list_arr, jnp.full((ntiles, Lp - L), LIST_EMPTY, jnp.int32)],
+                axis=1,
+            )
+        seq = list_arr.reshape(ntiles, Lp // chunk, chunk).transpose(1, 0, 2)
 
-    # inherit y_offset's device-varying type (see bin_triangles)
-    yvar = 0 * jnp.asarray(y_offset, jnp.int32)
+        def step(cr, cids):
+            zb, tb = cr
+            safe = jnp.minimum(cids, C - 1)
+            ok = (cids < C)[:, :, None, None]
+            cxs = tri.xs[safe][:, :, None, None, :]
+            cys = tri.ys[safe][:, :, None, None, :]
+            cz = tri.z[safe][:, :, None, None, :]
+            mask, zf = rc.tri_fragment(
+                cxs, cys, cz, px[:, None, :, :], py[:, None, :, :], xp=jnp
+            )  # (ntiles, chunk, TH, TW)
+            mask = mask & ok
+            zf = jnp.where(mask, zf, rc.BG_DEPTH)
+            # lexicographic (z, id) min within the chunk (order-independent)
+            z_min = zf.min(axis=1)
+            idb = jnp.where(cids < C, cids, BG)[:, :, None, None]
+            id_min = jnp.where(zf == z_min[:, None], idb, BG).min(axis=1)
+            id_new = jnp.where(jnp.isinf(z_min), BG, id_min)
+            upd = rc.resolve_better(z_min, id_new, zb, tb, jnp)
+            return (jnp.where(upd, z_min, zb), jnp.where(upd, id_new, tb)), None
+
+        return jax.lax.scan(step, carry, seq)[0]
+
+    yvar = 0 * jnp.asarray(y_offset, jnp.int32)  # inherit vma under shard_map
     zb0 = jnp.full((ntiles, TH, TW), rc.BG_DEPTH, jnp.float32) + yvar.astype(
         jnp.float32
     )
     tb0 = jnp.full((ntiles, TH, TW), BG, jnp.int32) + yvar
-    (zb, tb), _ = jax.lax.scan(step, (zb0, tb0), lists_s)
+
+    large_all = jnp.broadcast_to(b.large_ids[None, :], (ntiles, b.large_ids.shape[0]))
+    carry = scan_lists((zb0, tb0), large_all)
+    zb, tb = scan_lists(carry, b.lists)
 
     def untile(a):
         return (
@@ -267,4 +317,4 @@ def visibility_binned(
             .reshape(nty * TH, ntx * TW)[:H, :W]
         )
 
-    return untile(tb), untile(zb), dropped
+    return untile(tb), untile(zb), b.dropped

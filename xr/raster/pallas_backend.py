@@ -6,7 +6,7 @@ rasterization and z-buffer resolve as Pallas kernels over HBM framebuffer
 tiles"; SURVEY.md §2.1 "Rasterizer + depth test" — "the heart of the new
 framework").
 
-Pipeline position: geometry (xr/pipeline) -> jnp scan-compaction binning
+Pipeline position: geometry (xr/pipeline) -> sort-based binning
 (xr/raster/jnp_backend.bin_triangles) -> THIS kernel -> deferred shading.
 
 Layout strategy: per-tile triangle records (snapped coords, depths, ids) are
@@ -15,8 +15,10 @@ gather), so each grid step's records arrive in VMEM via the automatic block
 pipeline. Mosaic only allows dynamic indexing on non-tiled dims, so the
 kernel walks record CHUNKS of 8x128 = 1024 triangles (dynamic index on the
 free capq dim) and extracts per-triangle scalars from the in-register chunk
-with a masked reduction — no scalar memory traffic at all. Then, per
-triangle (sequential, ascending id == resolve order):
+with a masked reduction — no scalar memory traffic at all. "Large"
+triangles (bbox spanning > 2x2 tiles) live in a small global record set
+scanned by every tile behind a scalar bbox reject. Per triangle
+(lexicographic (z, id) resolve => order-independent):
 
     evaluate 3 integer edge functions over the (TH, TW) pixel block
     top-left fill rule, exact int32 (matches the CPU oracle bit-for-bit)
@@ -39,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from xr.core.types import RenderConfig
 from xr.pipeline.geometry import TriBuf
 from xr.raster import common as rc
-from xr.raster.jnp_backend import bin_triangles, _pad_to
+from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
 
 BG = rc.BG_TRI_ID
 
@@ -47,11 +49,107 @@ BG = rc.BG_TRI_ID
 CHUNK = 1024
 
 
+def _raster_records(
+    recs, n, px, py, zb_ref, tid_ref, sub_iota, lane_iota, tile_bounds=None
+):
+    """Fold `n` triangles from chunked records into the (z, tid) tile state.
+
+    recs: 10 refs/arrays shaped (capq, 8, 128) (already tile-local views):
+    x0,x1,x2,y0,y1,y2 (i32), z0,z1,z2 (f32), id (i32).
+    """
+    (x0r, x1r, x2r, y0r, y1r, y2r, z0r, z1r, z2r, idr) = recs
+
+    def chunk_body(q, _):
+        cx0 = x0r[q]
+        cx1 = x1r[q]
+        cx2 = x2r[q]
+        cy0 = y0r[q]
+        cy1 = y1r[q]
+        cy2 = y2r[q]
+        cz0 = z0r[q]
+        cz1 = z1r[q]
+        cz2 = z2r[q]
+        cid = idr[q]
+
+        def tri_body(k, _):
+            sel = (sub_iota == k // 128) & (lane_iota == k % 128)
+
+            def ext(chunk):
+                return jnp.sum(jnp.where(sel, chunk, jnp.zeros_like(chunk)))
+
+            x0, x1, x2 = ext(cx0), ext(cx1), ext(cx2)
+            y0, y1, y2 = ext(cy0), ext(cy1), ext(cy2)
+
+            def do_raster():
+                # edge k: v_k -> v_{k+1}; A = y_next - y_k, B = x_k - x_next
+                # (xr/core/fixedpoint.edge_coeffs). e0/e1/e2 are the edges
+                # (1,2,0) — opposite vertices 0/1/2 (fixedpoint.coverage).
+                def edge(ax, ay, bx, by):
+                    a = by - ay
+                    b = ax - bx
+                    e = a * (px - ax) + b * (py - ay)
+                    tie = (a > 0) | ((a == 0) & (b > 0))
+                    acc = (e > 0) | ((e == 0) & tie)
+                    return e, acc
+
+                e0, a0 = edge(x1, y1, x2, y2)
+                e1, a1 = edge(x2, y2, x0, y0)
+                e2, a2 = edge(x0, y0, x1, y1)
+                mask = a0 & a1 & a2
+
+                area2 = (e0 + e1 + e2).astype(jnp.float32)
+                inv = jnp.where(area2 != 0.0, 1.0 / area2, 0.0).astype(
+                    jnp.float32
+                )
+                l0 = e0.astype(jnp.float32) * inv
+                l1 = e1.astype(jnp.float32) * inv
+                l2 = e2.astype(jnp.float32) * inv
+                zf = (
+                    l0 * ext(cz0) + l1 * ext(cz1) + l2 * ext(cz2)
+                ).astype(jnp.float32)
+                mask = mask & (zf >= 0.0) & (zf <= 1.0)
+
+                tri_id = ext(cid)
+                zb = zb_ref[:]
+                tb = tid_ref[:]
+                better = mask & ((zf < zb) | ((zf == zb) & (tri_id < tb)))
+                zb_ref[:] = jnp.where(better, zf, zb)
+                tid_ref[:] = jnp.where(better, tri_id, tb)
+
+            if tile_bounds is not None:
+                # scalar tile/bbox overlap test: skip the vector math for
+                # large triangles that don't touch this tile
+                tpx0, tpx1, tpy0, tpy1 = tile_bounds
+                bx0 = jnp.minimum(jnp.minimum(x0, x1), x2)
+                bx1 = jnp.maximum(jnp.maximum(x0, x1), x2)
+                by0 = jnp.minimum(jnp.minimum(y0, y1), y2)
+                by1 = jnp.maximum(jnp.maximum(y0, y1), y2)
+                overlap = (
+                    (bx1 >= tpx0) & (bx0 <= tpx1) & (by1 >= tpy0) & (by0 <= tpy1)
+                )
+
+                @pl.when(overlap)
+                def _():
+                    do_raster()
+
+            else:
+                do_raster()
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(CHUNK, n - q * CHUNK), tri_body, 0)
+        return 0
+
+    nq = (n + CHUNK - 1) // CHUNK
+    jax.lax.fori_loop(0, nq, chunk_body, 0)
+
+
 def _vis_kernel(
     counts_ref,  # SMEM (ntiles,) — whole array, indexed by tile
-    x0r, x1r, x2r, y0r, y1r, y2r,  # VMEM (1, capq, 8, 128) i32
-    z0r, z1r, z2r,  # VMEM (1, capq, 8, 128) f32
-    idr,  # VMEM (1, capq, 8, 128) i32
+    lcount_ref,  # SMEM (1,)
+    # 10 small-record refs: VMEM (1, capq, 8, 128)
+    sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid,
+    # 10 large-record refs: VMEM (lcapq, 8, 128), shared by all tiles
+    lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid,
     tid_ref,  # out VMEM (TH, TW) i32
     zb_ref,  # out VMEM (TH, TW) f32
     *,
@@ -74,70 +172,26 @@ def _vis_kernel(
     tid_ref[:] = jnp.full((th, tw), BG, jnp.int32)
     zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
 
-    n = counts_ref[i * ntx + j]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    def chunk_body(q, _):
-        cx0 = x0r[0, q]
-        cx1 = x1r[0, q]
-        cx2 = x2r[0, q]
-        cy0 = y0r[0, q]
-        cy1 = y1r[0, q]
-        cy2 = y2r[0, q]
-        cz0 = z0r[0, q]
-        cz1 = z1r[0, q]
-        cz2 = z2r[0, q]
-        cid = idr[0, q]
-
-        def tri_body(k, _):
-            sel = (sub_iota == k // 128) & (lane_iota == k % 128)
-
-            def ext(chunk):
-                return jnp.sum(jnp.where(sel, chunk, jnp.zeros_like(chunk)))
-
-            x0, x1, x2 = ext(cx0), ext(cx1), ext(cx2)
-            y0, y1, y2 = ext(cy0), ext(cy1), ext(cy2)
-
-            # edge k: v_k -> v_{k+1}; A = y_next - y_k, B = x_k - x_next
-            # (xr/core/fixedpoint.edge_coeffs). e0/e1/e2 are the edges
-            # (1,2,0) — opposite vertices 0/1/2 (fixedpoint.coverage).
-            def edge(ax, ay, bx, by):
-                a = by - ay
-                b = ax - bx
-                e = a * (px - ax) + b * (py - ay)
-                tie = (a > 0) | ((a == 0) & (b > 0))
-                acc = (e > 0) | ((e == 0) & tie)
-                return e, acc
-
-            e0, a0 = edge(x1, y1, x2, y2)
-            e1, a1 = edge(x2, y2, x0, y0)
-            e2, a2 = edge(x0, y0, x1, y1)
-            mask = a0 & a1 & a2
-
-            area2 = (e0 + e1 + e2).astype(jnp.float32)
-            inv = jnp.where(area2 != 0.0, 1.0 / area2, 0.0).astype(jnp.float32)
-            l0 = e0.astype(jnp.float32) * inv
-            l1 = e1.astype(jnp.float32) * inv
-            l2 = e2.astype(jnp.float32) * inv
-            zf = (l0 * ext(cz0) + l1 * ext(cz1) + l2 * ext(cz2)).astype(
-                jnp.float32
-            )
-            mask = mask & (zf >= 0.0) & (zf <= 1.0)
-
-            tri_id = ext(cid)
-            zb = zb_ref[:]
-            tb = tid_ref[:]
-            better = mask & ((zf < zb) | ((zf == zb) & (tri_id < tb)))
-            zb_ref[:] = jnp.where(better, zf, zb)
-            tid_ref[:] = jnp.where(better, tri_id, tb)
-            return 0
-
-        jax.lax.fori_loop(0, jnp.minimum(CHUNK, n - q * CHUNK), tri_body, 0)
-        return 0
-
-    nq = (n + CHUNK - 1) // CHUNK
-    jax.lax.fori_loop(0, nq, chunk_body, 0)
+    bounds = (
+        j * tw * sub + half,
+        (j * tw + tw - 1) * sub + half,
+        i * th * sub + half,
+        (i * th + th - 1) * sub + half,
+    )
+    _raster_records(
+        (lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid),
+        lcount_ref[0],
+        px, py, zb_ref, tid_ref, sub_iota, lane_iota, tile_bounds=bounds,
+    )
+    small = tuple(r.at[0] for r in (sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid))
+    _raster_records(
+        small,
+        counts_ref[i * ntx + j],
+        px, py, zb_ref, tid_ref, sub_iota, lane_iota,
+    )
 
 
 def visibility_binned(
@@ -152,53 +206,61 @@ def visibility_binned(
     (the "sanitizer build", SURVEY.md §5.2)."""
     H, W = config.height, config.width
     TH, TW = config.tile_h, config.tile_w
-    ntx = _pad_to(W, TW) // TW
-    nty = _pad_to(H, TH) // TH
+    nty, ntx = grid_dims(config)
     ntiles = ntx * nty
     sub = config.subpixel
 
-    lists, counts, dropped = bin_triangles(tri, config, y_offset=y_offset)
-    cap = _pad_to(lists.shape[1], CHUNK)
-    if cap != lists.shape[1]:
-        lists = jnp.concatenate(
-            [lists, jnp.full((ntiles, cap - lists.shape[1]), 2**30, jnp.int32)],
-            axis=1,
-        )
-    capq = cap // CHUNK
-
-    C = tri.capacity
-    safe = jnp.minimum(lists, C - 1)
-    recs_i = [tri.xs[safe, k] for k in range(3)] + [tri.ys[safe, k] for k in range(3)]
-    recs_f = [tri.z[safe, k] for k in range(3)]
-    ids = jnp.where(lists < C, lists, BG)
-
-    # Sharded bands: translate all triangle Y coords by -y_offset (exact int
-    # translation; E/area2/depth are translation-invariant), so the kernel's
-    # band-local iota rows line up with full-frame semantics.
+    b = bin_triangles(tri, config, y_offset=y_offset)
     yo = jnp.asarray(y_offset, jnp.int32) * sub
-    recs_i = recs_i[:3] + [r - yo for r in recs_i[3:]]
+    C = tri.capacity
+
+    def records(lists):
+        """Gather (xs*3, ys*3, z*3, id) record arrays for an id-list array,
+        padded to CHUNK multiples and reshaped to (..., q, 8, 128)."""
+        n = lists.shape[-1]
+        npad = _pad_to(n, CHUNK)
+        if npad != n:
+            pad = jnp.full(lists.shape[:-1] + (npad - n,), 2**30, jnp.int32)
+            lists = jnp.concatenate([lists, pad], axis=-1)
+        safe = jnp.minimum(lists, C - 1)
+        recs = (
+            [tri.xs[safe, k] for k in range(3)]
+            + [tri.ys[safe, k] - yo for k in range(3)]  # band translation
+            + [tri.z[safe, k] for k in range(3)]
+            + [jnp.where(lists < C, lists, BG)]
+        )
+        q = npad // CHUNK
+        return [r.reshape(lists.shape[:-1] + (q, 8, 128)) for r in recs]
+
+    small_recs = records(b.lists)  # each (ntiles, capq, 8, 128)
+    large_recs = records(b.large_ids)  # each (lcapq, 8, 128)
+    capq = small_recs[0].shape[1]
+    lcapq = large_recs[0].shape[0]
 
     kernel = functools.partial(_vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx)
 
-    def tile_spec():
+    def small_spec():
         return pl.BlockSpec(
             (1, capq, 8, 128),
             lambda i, j: (i * ntx + j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
+    def large_spec():
+        return pl.BlockSpec(
+            (lcapq, 8, 128), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+
     grid_spec = pl.GridSpec(
         grid=(nty, ntx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]  # counts, whole
-        + [tile_spec() for _ in range(10)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [small_spec() for _ in range(10)]
+        + [large_spec() for _ in range(10)],
         out_specs=[
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
     )
-
-    def rs(a):
-        return a.reshape(ntiles, capq, 8, 128)
 
     tid, zb = pl.pallas_call(
         kernel,
@@ -208,6 +270,11 @@ def visibility_binned(
             jax.ShapeDtypeStruct((nty * TH, ntx * TW), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, *[rs(r) for r in recs_i], *[rs(r) for r in recs_f], rs(ids))
+    )(
+        b.counts,
+        b.large_count.reshape(1),
+        *small_recs,
+        *large_recs,
+    )
 
-    return tid[:H, :W], zb[:H, :W], dropped
+    return tid[:H, :W], zb[:H, :W], b.dropped

@@ -67,10 +67,15 @@ def shade_deferred(
         color = tri.face_rgb[t]
         return _with_bg(color, bg, config, xp)
 
-    xs = tri.xs[t]  # (H,W,3)
-    ys = tri.ys[t]
-    inv_w = tri.inv_w[t]
-    attr_w = tri.attr_w[t]  # (H,W,3,A)
+    # ONE wide-row gather for all per-pixel triangle data: XLA vectorizes a
+    # (H,W)-indexed gather of contiguous (C, R) rows far better than many
+    # narrow gathers (ints ride along bitcast to f32).
+    A = config.attr_width
+    rec = _pack_records(tri, A, xp)[t]  # (H, W, R)
+    xs = _bits_to_i32(rec[..., 0:3], xp)
+    ys = _bits_to_i32(rec[..., 3:6], xp)
+    inv_w = rec[..., 6:9]
+    attr_w = rec[..., 9 : 9 + 3 * A].reshape(rec.shape[:-1] + (3, A))
 
     _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
     l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
@@ -83,7 +88,7 @@ def shade_deferred(
     if config.mode == MODE_GOURAUD:
         return _with_bg(attrs[..., 0:3], bg, config, xp)
 
-    mat_id = tri.mat_id[t]
+    mat_id = _bits_to_i32(rec[..., 9 + 3 * A], xp)
     mats = scene.materials
 
     if config.mode == MODE_TEXTURED:
@@ -129,6 +134,41 @@ def shade_deferred(
         xp=xp,
     )
     return _with_bg(color, bg, config, xp)
+
+
+def _is_np(xp) -> bool:
+    return xp is np
+
+
+def _i32_to_bits(a, xp):
+    """Reinterpret int32 as float32 (for packing into one record row)."""
+    if _is_np(xp):
+        return np.ascontiguousarray(a).view(np.float32)
+    import jax
+
+    return jax.lax.bitcast_convert_type(a, xp.float32)
+
+
+def _bits_to_i32(a, xp):
+    if _is_np(xp):
+        return np.ascontiguousarray(a).view(np.int32)
+    import jax
+
+    return jax.lax.bitcast_convert_type(a, xp.int32)
+
+
+def _pack_records(tri: TriBuf, A: int, xp):
+    """(C, R) f32 shade-record rows: xs(3) ys(3) inv_w(3) attr_w(3A)
+    mat_id(1), all f32 (ints bitcast)."""
+    C = tri.capacity
+    cols = [
+        _i32_to_bits(tri.xs, xp),
+        _i32_to_bits(tri.ys, xp),
+        tri.inv_w,
+        tri.attr_w.reshape(C, 3 * A),
+        _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
+    ]
+    return xp.concatenate(cols, axis=1)
 
 
 def _sample_texture(
