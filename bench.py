@@ -7,13 +7,22 @@ record but don't conflate, SURVEY.md §7.4).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+# persistent compile cache: first bench run pays the (minutes-long) remote
+# TPU compile; later runs reuse it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
+
 
 def main(frames: int = 30):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from xr.app.renderer import Renderer

@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -1,0 +1,49 @@
+"""Golden-frame integration tests: the device pipeline must reproduce the
+checked-in oracle-generated goldens at 8-bit tolerance, per config
+(BASELINE.json:2 "golden-image max abs err"; SURVEY.md §4.2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xr.app.renderer import Renderer
+from xr.core.image import read_png
+from xr.scene import presets
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+FACTORIES = {
+    "config1": lambda: presets.config1_cube(),
+    "config2": lambda: presets.config2_icospheres(),
+    "config3": lambda: presets.config3_terrain(nx=48, nz=48),
+    "config4": lambda: presets.config4_phong(),
+    "config5": lambda: presets.config5_flythrough(nx=64, nz=64),
+}
+
+
+def _manifest():
+    with open(os.path.join(GOLDEN_DIR, "manifest.json")) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("name", sorted(FACTORIES))
+def test_device_matches_golden(name):
+    m = _manifest()[name]
+    p = presets.small_preset(
+        FACTORIES[name](), m["width"], m["height"], **m["overrides"]
+    )
+    cam, mm = p.animate(m["t"], np)
+    scene = p.scene.replace(model_matrices=mm)
+    r = Renderer(scene, p.config)
+    frame = r.readback(r.step(scene, cam))
+    golden = read_png(os.path.join(GOLDEN_DIR, f"{name}.png"))
+    diff = np.abs(frame.color.astype(int) - golden.astype(int))
+    bad = (diff.max(axis=-1) > 1).sum()
+    npix = golden.shape[0] * golden.shape[1]
+    # <=1 LSB everywhere except (config4) a handful of shadow-edge pixels
+    allowed = max(2, int(npix * 0.001)) if name == "config4" else 0
+    assert bad <= allowed, f"{name}: {bad} px differ >1 LSB (max {diff.max()})"
+    cov = float((frame.depth < 1.0).mean())
+    assert abs(cov - m["coverage"]) < 1e-6, "coverage drifted from golden"
