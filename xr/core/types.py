@@ -79,6 +79,11 @@ class RenderConfig:
     # Post-clip triangle capacity = ceil(num_tris * clip_expand) + 64.
     clip_expand: float = 1.25
 
+    # Max triangles routed through full Sutherland-Hodgman per frame (only
+    # tris that actually CROSS a frustum/guard plane; fully-inside tris skip
+    # clipping entirely). 0 = auto: max(1024, T//16). Overflow is counted.
+    clip_budget: int = 0
+
     # Screen-tile binning (0 => brute force over all triangles, no binning).
     tile_h: int = 64
     tile_w: int = 128

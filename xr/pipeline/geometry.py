@@ -241,6 +241,101 @@ def _vert_mat(mesh, xp):
     return out.at[idx].set(val)
 
 
+
+def _swap_v12(arr, flip, xp):
+    """Swap vertices 1 and 2 where `flip`; vertex axis is -1 for coord
+    arrays (..., 3) and -2 for attr arrays (..., 3, A)."""
+    if arr.shape[-1] == 3 and arr.ndim == flip.ndim + 1:
+        fm = flip[..., None]
+        swapped = xp.stack([arr[..., 0], arr[..., 2], arr[..., 1]], axis=-1)
+    else:
+        fm = flip[..., None, None]
+        swapped = xp.stack(
+            [arr[..., 0, :], arr[..., 2, :], arr[..., 1, :]], axis=-2
+        )
+    return xp.where(fm, swapped, arr)
+
+
+def _project_snap(fpos, fattr, config: RenderConfig, xp):
+    """Project clip-space triangles to snapped screen ints + setup culls.
+
+    fpos: (..., 3, 4); fattr: (..., 3, A).
+    Returns (xs, ys, z, inv_w, attr_w, valid), leading shape preserved.
+    Op order here is the binding f32 sequence (oracle == device,
+    SURVEY.md §7.3.3).
+    """
+    sub = config.subpixel
+    w = xp.maximum(fpos[..., 3], 1e-12)
+    inv_w = (1.0 / w).astype(xp.float32)
+    ndc_x = fpos[..., 0] * inv_w
+    ndc_y = fpos[..., 1] * inv_w
+    z = (fpos[..., 2] * inv_w).astype(xp.float32)
+    sx = (ndc_x * 0.5 + 0.5) * config.width
+    sy = (0.5 - ndc_y * 0.5) * config.height
+    # clamp only affects tris already outside the guard band (they are
+    # culled by the validity mask); keeps the f32->i32 snap well-defined
+    lim = float(8 * max(config.width, config.height) + 64)
+    sx = xp.clip(sx, -lim, lim)
+    sy = xp.clip(sy, -lim, lim)
+    xs = fp.snap_to_fixed(sx, sub, xp)
+    ys = fp.snap_to_fixed(sy, sub, xp)
+
+    area2 = fp.doubled_area(xs, ys, xp)
+    if config.cull_backfaces:
+        orient_ok = area2 > 0
+        flip = xp.zeros(area2.shape, bool)
+    else:
+        orient_ok = area2 != 0
+        flip = area2 < 0
+    xs = _swap_v12(xs, flip, xp)
+    ys = _swap_v12(ys, flip, xp)
+    z = _swap_v12(z, flip, xp)
+    inv_w = _swap_v12(inv_w, flip, xp)
+    if fattr.shape[-1]:
+        fattr = _swap_v12(fattr, flip, xp)
+
+    # screen-rect reject (pixel centers live at sub/2 + k*sub)
+    half = sub // 2
+    min_x = xp.min(xs, axis=-1)
+    max_x = xp.max(xs, axis=-1)
+    min_y = xp.min(ys, axis=-1)
+    max_y = xp.max(ys, axis=-1)
+    on_screen = (
+        (max_x >= half)
+        & (min_x <= (config.width - 1) * sub + half)
+        & (max_y >= half)
+        & (min_y <= (config.height - 1) * sub + half)
+    )
+    valid = orient_ok & on_screen
+    attr_w = (
+        (fattr * inv_w[..., None]).astype(xp.float32)
+        if fattr.shape[-1]
+        else fattr
+    )
+    return xs, ys, z, inv_w, attr_w, valid
+
+
+def _sort_compact_ids(mask, n_out, xp):
+    """Indices of True entries of `mask`, ascending, padded to n_out.
+
+    Scatter-free order-preserving compaction (XLA TPU scatters serialize):
+    sort (index if set else BIG) and truncate/pad. Returns (idx (n_out,),
+    count ()). Padded entries point at 0 — mask separately.
+    """
+    n = mask.shape[0]
+    big = xp.int32(2**30)
+    keys = xp.where(mask, xp.arange(n, dtype=xp.int32), big)
+    skeys = xp.sort(keys)
+    if n_out <= n:
+        idx = skeys[:n_out]
+    else:
+        idx = xp.concatenate(
+            [skeys, xp.full((n_out - n,), big, xp.int32)]
+        )
+    count = xp.sum(mask.astype(xp.int32))
+    return xp.minimum(idx, n - 1), xp.minimum(count, n_out), count
+
+
 def geometry(
     scene: Scene,
     view,
@@ -249,139 +344,115 @@ def geometry(
     xp=np,
     capacity: Optional[int] = None,
 ) -> TriBuf:
-    """Full geometry stage: vertex transform -> clip -> project -> snap ->
-    cull -> setup -> compact. Static output capacity.
+    """Full geometry stage: vertex transform -> classify -> clip (crossing
+    tris only) -> project -> snap -> cull -> compact. Static shapes.
+
+    Two-path design (SURVEY.md §7.3.2 + perf): triangles fully inside all 6
+    clip planes (the overwhelming majority) skip Sutherland-Hodgman
+    entirely; only tris CROSSING a plane are compacted into a small static
+    budget and clipped. Output order: inside tris (ascending input id),
+    then clipped fans — deterministic and identical for the numpy oracle
+    and the device pipeline (shared code), which fixes (z, id) tie-breaks.
     """
     mesh = scene.mesh
     T = mesh.num_triangles
     A = config.attr_width
     C = capacity if capacity is not None else clip_capacity(T, config)
-    sub = config.subpixel
 
     clip, vattrs, face_rgb = _vertex_stage(scene, view, proj, config, xp)
-
     tri_pos = clip[mesh.indices]  # (T,3,4)
     tri_attr = (
         vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
     )
 
-    poly_pos, poly_attr, cnt = clip_triangles(
-        tri_pos, tri_attr, config.guard_band, xp
-    )
+    planes = _plane_vectors(config.guard_band, xp)  # (6,4)
+    d = xp.einsum("tvc,pc->tvp", tri_pos, planes)  # (T,3,6)
+    inside_all = xp.all(d >= 0.0, axis=(1, 2))
+    outside_any = xp.any(xp.all(d < 0.0, axis=1), axis=1)
+    crossing = (~inside_all) & (~outside_any)
 
-    # Fan: polygon (v0, vk+1, vk+2) for k in 0..MAX_FAN-1, valid iff k+2 < cnt.
+    # ---- path B: Sutherland-Hodgman on the (few) crossing triangles -----
+    B = config.clip_budget or max(1024, T // 16)
+    B = min(B, T)
+    sel, _, crossing_total = _sort_compact_ids(crossing, B, xp)
+    sel_valid = xp.arange(B) < xp.minimum(crossing_total, B)
+    cpos = tri_pos[sel]
+    cattr = tri_attr[sel]
+    poly_pos, poly_attr, cnt = clip_triangles(
+        cpos, cattr, config.guard_band, xp
+    )
+    cnt = xp.where(sel_valid, cnt, 0)
+
     F = MAX_FAN
     k = xp.arange(F)
-    fan_valid = (k[None, :] + 2) < cnt[:, None]  # (T,F)
-    idx0 = xp.zeros((T, F), xp.int32)
-    idx1 = xp.broadcast_to((k + 1)[None, :], (T, F)).astype(xp.int32)
-    idx2 = xp.broadcast_to((k + 2)[None, :], (T, F)).astype(xp.int32)
+    fan_valid = (k[None, :] + 2) < cnt[:, None]  # (B,F)
+    idx1 = xp.broadcast_to((k + 1)[None, :], (B, F)).astype(xp.int32)
+    idx2 = xp.broadcast_to((k + 2)[None, :], (B, F)).astype(xp.int32)
 
     def gather_poly(arr, idx):
-        # arr (T,MAXV,D), idx (T,F) -> (T,F,D)
+        # arr (B,MAXV,D), idx (B,F) -> (B,F,D)
         return xp.take_along_axis(
-            arr, idx[:, :, None] * xp.ones((1, 1, arr.shape[2]), xp.int32), axis=1
+            arr,
+            idx[:, :, None] * xp.ones((1, 1, arr.shape[2]), xp.int32),
+            axis=1,
         )
 
-    fpos = xp.stack(
-        [gather_poly(poly_pos, i) for i in (idx0, idx1, idx2)], axis=2
-    )  # (T,F,3,4)
-    fattr = (
-        xp.stack([gather_poly(poly_attr, i) for i in (idx0, idx1, idx2)], axis=2)
-        if A
-        else xp.zeros((T, F, 3, 0), xp.float32)
+    def fan(arr):
+        v0 = xp.broadcast_to(arr[:, None, 0], (B, F) + arr.shape[2:])
+        return xp.stack(
+            [v0, gather_poly(arr, idx1), gather_poly(arr, idx2)], axis=2
+        )
+
+    fposB = fan(poly_pos)  # (B,F,3,4)
+    fattrB = (
+        fan(poly_attr) if A else xp.zeros((B, F, 3, 0), xp.float32)
     )
 
-    # Project + viewport transform + snap (xr/core/math3d.py conventions).
-    w = xp.maximum(fpos[..., 3], 1e-12)
-    inv_w = (1.0 / w).astype(xp.float32)
-    ndc_x = fpos[..., 0] * inv_w
-    ndc_y = fpos[..., 1] * inv_w
-    z = (fpos[..., 2] * inv_w).astype(xp.float32)
-    sx = (ndc_x * 0.5 + 0.5) * config.width
-    sy = (0.5 - ndc_y * 0.5) * config.height
-    xs = fp.snap_to_fixed(sx, sub, xp)  # (T,F,3) i32
-    ys = fp.snap_to_fixed(sy, sub, xp)
+    # ---- project/snap/cull both paths ------------------------------------
+    xsA, ysA, zA, iwA, awA, validA = _project_snap(tri_pos, tri_attr, config, xp)
+    validA = validA & inside_all
+    xsB, ysB, zB, iwB, awB, validB = _project_snap(fposB, fattrB, config, xp)
+    validB = validB & fan_valid
 
-    area2 = fp.doubled_area(xs, ys, xp)  # (T,F)
-    if config.cull_backfaces:
-        orient_ok = area2 > 0
-        flip = xp.zeros_like(area2, dtype=bool)
-    else:
-        orient_ok = area2 != 0
-        flip = area2 < 0
-
-    # Canonicalize winding: swap v1/v2 where flipped (exact int swap).
-    def swap12(arr, flip_mask):
-        fm = flip_mask.reshape(flip_mask.shape + (1,) * (arr.ndim - 2))
-        if arr.ndim == 3:  # (T,F,3)
-            swapped = xp.stack([arr[..., 0], arr[..., 2], arr[..., 1]], axis=-1)
-        else:  # (T,F,3,A): swap along axis 2
-            swapped = xp.stack(
-                [arr[..., 0, :], arr[..., 2, :], arr[..., 1, :]], axis=2
-            )
-        return xp.where(fm, swapped, arr)
-
-    xs = swap12(xs, flip)
-    ys = swap12(ys, flip)
-    z = swap12(z, flip)
-    inv_w = swap12(inv_w, flip)
-    if A:
-        fattr = swap12(fattr, flip)
-
-    valid = fan_valid & orient_ok
-
-    # Screen-rect reject: triangle bbox outside the framebuffer contributes
-    # nothing (pixel centers are at sub/2 .. ).
-    min_x = xp.min(xs, axis=-1)
-    max_x = xp.max(xs, axis=-1)
-    min_y = xp.min(ys, axis=-1)
-    max_y = xp.max(ys, axis=-1)
-    half = sub // 2
-    on_screen = (
-        (max_x >= half)
-        & (min_x <= (config.width - 1) * sub + half)
-        & (max_y >= half)
-        & (min_y <= (config.height - 1) * sub + half)
+    # ---- payloads ---------------------------------------------------------
+    rgbA, matA = face_rgb, mesh.material_id.astype(xp.int32)
+    rgbB = xp.broadcast_to(face_rgb[sel][:, None, :], (B, F, 3))
+    matB = xp.broadcast_to(
+        mesh.material_id.astype(xp.int32)[sel][:, None], (B, F)
     )
-    valid = valid & on_screen
 
-    attr_w = (fattr * inv_w[..., None]).astype(xp.float32) if A else fattr
+    # ---- order-preserving compaction into capacity C ----------------------
+    BF = B * F
+    idxA, countA, totalA = _sort_compact_ids(validA, C, xp)
+    idxB, countB, totalB = _sort_compact_ids(validB.reshape(BF), C, xp)
+    slot = xp.arange(C, dtype=xp.int32)
+    from_a = slot < countA
+    jb = xp.minimum(xp.maximum(slot - countA, 0), C - 1)
+    srcB = idxB[jb]
 
-    # ---- compact (T,F) -> capacity C, preserving (tri, fan) order --------
-    flat_valid = valid.reshape(-1)
-    n = flat_valid.shape[0]
-    pos_idx = xp.cumsum(flat_valid.astype(xp.int32)) - flat_valid.astype(xp.int32)
-    total = xp.sum(flat_valid.astype(xp.int32))
-    keep = flat_valid & (pos_idx < C)
+    def merge(a_arr, b_arr):
+        b_flat = b_arr.reshape((BF,) + b_arr.shape[2:])
+        ga = a_arr[idxA]
+        gb = b_flat[srcB]
+        fm = from_a.reshape((C,) + (1,) * (ga.ndim - 1))
+        return xp.where(fm, ga, gb)
 
-    def compact(arr, fill=0):
-        flat = arr.reshape((n,) + arr.shape[2:])
-        out = xp.full((C,) + flat.shape[1:], fill, flat.dtype)
-        if _is_np(xp):
-            out[pos_idx[keep]] = flat[keep]
-            return out
-        dst = xp.where(keep, pos_idx, C)
-        import jax.numpy as jnp
+    out_count = xp.minimum(countA + countB, C).astype(xp.int32)
+    valid = slot < out_count
+    overflow = (
+        xp.maximum(totalA + totalB - C, 0)
+        + xp.maximum(crossing_total - B, 0)
+    ).astype(xp.int32)
 
-        outp = jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0)
-        outp = outp.at[dst].set(flat, mode="drop")
-        return outp[:C]
-
-    src_tri = xp.broadcast_to(xp.arange(T)[:, None], (T, F))
-    out_count = xp.minimum(total, C).astype(xp.int32)
     return TriBuf(
-        xs=compact(xs),
-        ys=compact(ys),
-        z=compact(z),
-        inv_w=compact(inv_w),
-        attr_w=compact(attr_w),
-        face_rgb=compact(face_rgb[:, None, :] * xp.ones((1, F, 1), xp.float32)),
-        mat_id=compact(
-            (mesh.material_id[:, None] * xp.ones((1, F), xp.int32)).astype(xp.int32)
-        ),
-        valid=compact(valid).astype(bool)
-        & (xp.arange(C) < out_count),
+        xs=merge(xsA, xsB),
+        ys=merge(ysA, ysB),
+        z=merge(zA, zB),
+        inv_w=merge(iwA, iwB),
+        attr_w=merge(awA, awB),
+        face_rgb=merge(rgbA, rgbB),
+        mat_id=merge(matA, matB),
+        valid=valid,
         count=out_count,
-        overflow=xp.maximum(total - C, 0).astype(xp.int32),
+        overflow=overflow,
     )

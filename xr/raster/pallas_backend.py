@@ -214,23 +214,37 @@ def visibility_binned(
     yo = jnp.asarray(y_offset, jnp.int32) * sub
     C = tri.capacity
 
+    # one packed (C, 10) i32 record row per triangle (xs*3, ys*3 translated,
+    # z-bits*3, id) so the per-list gather below is a single wide-row gather
+    # instead of 10 narrow ones (XLA TPU gathers cost ~per row)
+    zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
+    tri_ids = jnp.arange(C, dtype=jnp.int32).reshape(C, 1)
+    packed = jnp.concatenate(
+        [tri.xs, tri.ys - yo, zbits, tri_ids], axis=1
+    )  # (C, 10)
+
     def records(lists):
-        """Gather (xs*3, ys*3, z*3, id) record arrays for an id-list array,
-        padded to CHUNK multiples and reshaped to (..., q, 8, 128)."""
+        """Gather record field arrays for an id-list array, padded to CHUNK
+        multiples and reshaped to (..., q, 8, 128) each."""
         n = lists.shape[-1]
         npad = _pad_to(n, CHUNK)
         if npad != n:
             pad = jnp.full(lists.shape[:-1] + (npad - n,), 2**30, jnp.int32)
             lists = jnp.concatenate([lists, pad], axis=-1)
         safe = jnp.minimum(lists, C - 1)
-        recs = (
-            [tri.xs[safe, k] for k in range(3)]
-            + [tri.ys[safe, k] - yo for k in range(3)]  # band translation
-            + [tri.z[safe, k] for k in range(3)]
-            + [jnp.where(lists < C, lists, BG)]
-        )
+        rows = packed[safe]  # (..., npad, 10) — ONE gather
+        empty = (lists >= C)[..., None]
+        rows = jnp.where(
+            empty & (jnp.arange(10) == 9), BG, rows
+        )  # id field -> BG for empty slots
         q = npad // CHUNK
-        return [r.reshape(lists.shape[:-1] + (q, 8, 128)) for r in recs]
+        fields = [rows[..., k] for k in range(10)]
+        out = [f.reshape(lists.shape[:-1] + (q, 8, 128)) for f in fields]
+        # z fields back to f32
+        for k in (6, 7, 8):
+            out[k] = jax.lax.bitcast_convert_type(out[k], jnp.float32)
+        # reorder to kernel layout: x0..x2, y0..y2, z0..z2, id
+        return out
 
     small_recs = records(b.lists)  # each (ntiles, capq, 8, 128)
     large_recs = records(b.large_ids)  # each (lcapq, 8, 128)
