@@ -35,6 +35,7 @@ def save_scene(path: str, scene: Scene) -> None:
     arrs["model_matrices"] = np.asarray(scene.model_matrices)
     if scene.textures is not None:
         arrs["tex_data"] = np.asarray(scene.textures.data)
+        arrs["tex_quads"] = np.asarray(scene.textures.quads)
         arrs["tex_meta"] = np.asarray(
             [scene.textures.base_size, scene.textures.num_levels], np.int64
         )
@@ -69,7 +70,12 @@ def load_scene(path: str) -> Scene:
     tex = None
     if "tex_data" in z:
         base, levels = (int(v) for v in z["tex_meta"])
-        tex = TexturePyramid(data=z["tex_data"], base_size=base, num_levels=levels)
+        tex = TexturePyramid(
+            data=z["tex_data"],
+            quads=z["tex_quads"],
+            base_size=base,
+            num_levels=levels,
+        )
     return Scene(
         mesh=mesh,
         materials=mat,

@@ -119,36 +119,6 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size: int, xp=np):
     return (0.5 * (xp.log(rho2) * (1.0 / np.log(2.0)))).astype(xp.float32)
 
 
-def _bilinear_at_level(pyr_data, tex_id, u, v, size: int, offset: int, xp=np):
-    """Bilinear sample at one mip level. pyr_data (Ntex, P, 3); u,v wrapped
-    [0,1); returns (..., 3)."""
-    s = size
-    tu = u * s - 0.5
-    tv = v * s - 0.5
-    i0 = xp.floor(tu)
-    j0 = xp.floor(tv)
-    fu = (tu - i0).astype(xp.float32)
-    fv = (tv - j0).astype(xp.float32)
-    i0 = i0.astype(xp.int32)
-    j0 = j0.astype(xp.int32)
-    # wrap (repeat); s is a power of two so bitwise-and works and is cheap
-    m = s - 1
-    i0w, i1w = i0 & m, (i0 + 1) & m
-    j0w, j1w = j0 & m, (j0 + 1) & m
-
-    def texel(jj, ii):
-        flat = offset + jj * s + ii
-        return pyr_data[tex_id, flat]  # (..., 3) gather
-
-    t00 = texel(j0w, i0w)
-    t01 = texel(j0w, i1w)
-    t10 = texel(j1w, i0w)
-    t11 = texel(j1w, i1w)
-    top = t00 + (t01 - t00) * fu[..., None]
-    bot = t10 + (t11 - t10) * fu[..., None]
-    return top + (bot - top) * fv[..., None]
-
-
 def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     """Perspective-correct trilinear texture sample.
 
@@ -156,8 +126,10 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     repeat-wrapped); lod (...,) f32. Returns (..., 3) f32.
 
     Implementation: sample BOTH bracketing mip levels for every pixel by
-    gathering from the flattened pyramid with per-pixel level offsets. The
-    level tables are tiny static arrays; everything else is gathers + lerps
+    gathering from the flattened QUAD pyramid (one gather fetches the whole
+    2x2 bilinear footprint as four RGB8-packed u32 texels; see
+    TexturePyramid.quads) with per-pixel level offsets. The level tables are
+    tiny static arrays; everything else is gathers + VPU unpack/lerps
     (BASELINE.json:5 "vectorized gathers with mip selection").
     """
     L = pyramid.num_levels
@@ -173,6 +145,14 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
 
     sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)
     offsets = xp.asarray([pyramid.level_offset(k) for k in range(L)], xp.int32)
+    inv255 = xp.float32(1.0 / 255.0)
+
+    def unpack(q):
+        # u32 RGB8 -> (..., 3) f32 in [0, 1]
+        r = (q & 0xFF).astype(xp.float32)
+        g = ((q >> 8) & 0xFF).astype(xp.float32)
+        b = ((q >> 16) & 0xFF).astype(xp.float32)
+        return xp.stack([r, g, b], axis=-1) * inv255
 
     def sample_level(lk):
         s = sizes[lk]  # (...,) i32 per-pixel level size
@@ -187,16 +167,14 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
         i0 = i0.astype(xp.int32)
         j0 = j0.astype(xp.int32)
         m = s - 1
-        i0w, i1w = i0 & m, (i0 + 1) & m
-        j0w, j1w = j0 & m, (j0 + 1) & m
+        i0w = i0 & m
+        j0w = j0 & m
 
-        def texel(jj, ii):
-            return pyramid.data[tex_id, off + jj * s + ii]
-
-        t00 = texel(j0w, i0w)
-        t01 = texel(j0w, i1w)
-        t10 = texel(j1w, i0w)
-        t11 = texel(j1w, i1w)
+        q = pyramid.quads[tex_id, off + j0w * s + i0w]  # (..., 4) ONE gather
+        t00 = unpack(q[..., 0])
+        t01 = unpack(q[..., 1])
+        t10 = unpack(q[..., 2])
+        t11 = unpack(q[..., 3])
         top = t00 + (t01 - t00) * fu[..., None]
         bot = t10 + (t11 - t10) * fu[..., None]
         return top + (bot - top) * fv[..., None]

@@ -256,11 +256,17 @@ class TexturePyramid(struct.PyTreeNode):
     (BASELINE.json:5 "texture sampling as vectorized gathers with mip
     selection"). Textures must be square power-of-two and share a size.
 
-    data: (Ntex, P, 3) f32 where P = sum over levels of (S>>k)^2; level k is
-          stored row-major at `level_offset(k)`.
+    data:  (Ntex, P, 3) f32 where P = sum over levels of (S>>k)^2; level k
+           is stored row-major at `level_offset(k)`. Reference copy used for
+           building/tests.
+    quads: (Ntex, P, 4) u32 — the SAMPLING layout: row p holds the 2x2
+           wrap-neighbor texel quad anchored at texel p, each texel packed
+           RGB8 into a u32 (8-bit texel quantization, like any real GPU
+           texture). One gather fetches a whole bilinear footprint.
     """
 
     data: Any
+    quads: Any = None
     base_size: int = struct.field(pytree_node=False, default=0)
     num_levels: int = struct.field(pytree_node=False, default=0)
 

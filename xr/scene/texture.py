@@ -11,11 +11,29 @@ import numpy as np
 from xr.core.types import TexturePyramid
 
 
+def _pack_quads(levels) -> np.ndarray:
+    """Quad-packed sampling layout: for each level (S,S,3) f32, quantize to
+    RGB8-in-u32 and store, per texel p=(j,i), the 2x2 wrap-neighbor quad
+    (p, p+x, p+y, p+xy) — ONE gather per bilinear footprint on TPU."""
+    rows = []
+    for lv in levels:
+        q8 = np.floor(np.clip(lv, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint32)
+        u32 = q8[:, :, 0] | (q8[:, :, 1] << 8) | (q8[:, :, 2] << 16)
+        xs = np.roll(u32, -1, axis=1)
+        ys = np.roll(u32, -1, axis=0)
+        xy = np.roll(ys, -1, axis=1)
+        rows.append(
+            np.stack([u32, xs, ys, xy], axis=-1).reshape(-1, 4)
+        )
+    return np.concatenate(rows, axis=0)
+
+
 def build_pyramid(images: Sequence[np.ndarray]) -> TexturePyramid:
     """Flatten square power-of-two (S, S, 3) f32 textures + box-filter mips.
 
     Level k+1 texel = mean of its four level-k parents (the classic box
-    filter), down to 1x1.
+    filter), down to 1x1. Mips are built in f32; the sampling layout
+    (`quads`) quantizes texels to 8 bits like a real GPU texture.
     """
     imgs = [np.asarray(im, np.float32) for im in images]
     s = imgs[0].shape[0]
@@ -24,7 +42,7 @@ def build_pyramid(images: Sequence[np.ndarray]) -> TexturePyramid:
         assert im.shape == (s, s, 3), f"all textures must be ({s},{s},3)"
     num_levels = s.bit_length()  # S=2^n -> n+1 levels
 
-    flats = []
+    flats, quads = [], []
     for im in imgs:
         levels = [im]
         cur = im
@@ -34,9 +52,11 @@ def build_pyramid(images: Sequence[np.ndarray]) -> TexturePyramid:
             )
             levels.append(cur.astype(np.float32))
         flats.append(np.concatenate([lv.reshape(-1, 3) for lv in levels], axis=0))
+        quads.append(_pack_quads(levels))
 
     return TexturePyramid(
         data=np.stack(flats, axis=0),
+        quads=np.stack(quads, axis=0),
         base_size=s,
         num_levels=num_levels,
     )
