@@ -1,0 +1,93 @@
+"""App-layer tests: example runner CLI, validation, serialization, prof."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from xr.app import validate
+from xr.core import serialize
+from xr.core.types import RenderConfig
+from xr.scene.presets import config1_cube, small_preset
+
+from tests.scenes import fixed_camera, random_scene
+
+
+def test_example_runner_cli(tmp_path):
+    """Drive the reference frame loop end-to-end through the CLI (oracle
+    mode keeps it fast and jax-platform-independent)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [
+            sys.executable, "examples/run.py", "config1",
+            "--frames", "2", "--oracle",
+            "--width", "64", "--height", "64",
+            "--out", str(tmp_path), "--dump-every", "1",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    done = [l for l in lines if l.get("event") == "done"][0]
+    assert done["frames"] == 2
+    assert done["stats"]["clip_overflow"] == 0
+    assert os.path.exists(tmp_path / "config1_final.png")
+    assert os.path.exists(tmp_path / "config1_0000.png")
+
+
+def test_validate_scene_catches_bad_indices():
+    rng = np.random.default_rng(0)
+    scene = random_scene(rng, 4)
+    validate.check_scene(scene)  # good scene passes
+    bad = scene.replace(
+        mesh=scene.mesh.replace(
+            indices=np.array([[0, 1, 999]], np.int32),
+            material_id=np.zeros(1, np.int32),
+        )
+    )
+    with pytest.raises(ValueError, match="indices out of range"):
+        validate.check_scene(bad)
+
+
+def test_validate_frame():
+    from xr.cpu_ref import render_frame
+
+    p = small_preset(config1_cube(), 48, 48)
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+    frame = render_frame(scene, cam, p.config)
+    validate.check_frame(frame, p.config)
+
+
+def test_scene_roundtrip(tmp_path):
+    from xr.scene.presets import config3_terrain
+
+    p = small_preset(config3_terrain(nx=8, nz=8), 32, 32)
+    path = str(tmp_path / "scene.npz")
+    serialize.save_scene(path, p.scene)
+    back = serialize.load_scene(path)
+    np.testing.assert_array_equal(back.mesh.positions, p.scene.mesh.positions)
+    np.testing.assert_array_equal(back.textures.quads, p.scene.textures.quads)
+    assert back.textures.base_size == p.scene.textures.base_size
+
+    cams, mats = serialize.bake_camera_path(p.animate, [0.0, 0.5, 1.0])
+    cpath = str(tmp_path / "cams.npz")
+    serialize.save_camera_path(cpath, cams)
+    back_cams = serialize.load_camera_path(cpath)
+    assert len(back_cams) == 3
+    np.testing.assert_allclose(back_cams[1].eye, np.asarray(cams[1].eye))
+
+
+def test_frame_timer():
+    from xr.prof import FrameTimer
+
+    t = FrameTimer()
+    with t.section("frame"):
+        pass
+    rep = json.loads(t.report(pixels_per_frame=100))
+    assert "fps" in rep and "frame" in rep

@@ -50,14 +50,26 @@ CHUNK = 1024
 
 
 def _raster_records(
-    recs, n, px, py, zb_ref, tid_ref, sub_iota, lane_iota, tile_bounds=None
+    recs, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota, lane_iota,
+    *, th: int, tw: int, sub: int,
 ):
     """Fold `n` triangles from chunked records into the (z, tid) tile state.
 
     recs: 10 refs/arrays shaped (capq, 8, 128) (already tile-local views):
     x0,x1,x2,y0,y1,y2 (i32), z0,z1,z2 (f32), id (i32).
+
+    Per triangle, only the (8, 128) ROW BANDS its bbox touches are
+    evaluated (predicated via pl.when): small triangles cover a few dozen
+    pixels while a whole tile has th*tw — banding removes most of that
+    wasted VPU work. The x extent rides free in the 128 lanes.
     """
     (x0r, x1r, x2r, y0r, y1r, y2r, z0r, z1r, z2r, idr) = recs
+    half = sub // 2
+    nbands = th // 8
+    px = (lane_iota + tile_j * tw) * sub + half  # (8, 128)
+    tile_px0 = tile_j * tw * sub + half
+    tile_px1 = (tile_j * tw + tw - 1) * sub + half
+    tile_py = tile_i * th * sub + half  # first pixel-center row
 
     def chunk_body(q, _):
         cx0 = x0r[q]
@@ -79,61 +91,69 @@ def _raster_records(
 
             x0, x1, x2 = ext(cx0), ext(cx1), ext(cx2)
             y0, y1, y2 = ext(cy0), ext(cy1), ext(cy2)
+            z0 = ext(cz0)
+            z1 = ext(cz1)
+            z2 = ext(cz2)
+            tri_id = ext(cid)
 
-            def do_raster():
-                # edge k: v_k -> v_{k+1}; A = y_next - y_k, B = x_k - x_next
-                # (xr/core/fixedpoint.edge_coeffs). e0/e1/e2 are the edges
-                # (1,2,0) — opposite vertices 0/1/2 (fixedpoint.coverage).
-                def edge(ax, ay, bx, by):
-                    a = by - ay
-                    b = ax - bx
-                    e = a * (px - ax) + b * (py - ay)
-                    tie = (a > 0) | ((a == 0) & (b > 0))
-                    acc = (e > 0) | ((e == 0) & tie)
-                    return e, acc
+            # edge k: v_k -> v_{k+1}; A = y_next - y_k, B = x_k - x_next
+            # (xr/core/fixedpoint.edge_coeffs). e0/e1/e2 are the edges
+            # (1,2,0) — opposite vertices 0/1/2 (fixedpoint.coverage).
+            a0, b0 = y2 - y1, x1 - x2
+            a1, b1 = y0 - y2, x2 - x0
+            a2, b2 = y1 - y0, x0 - x1
+            t0 = (a0 > 0) | ((a0 == 0) & (b0 > 0))
+            t1 = (a1 > 0) | ((a1 == 0) & (b1 > 0))
+            t2 = (a2 > 0) | ((a2 == 0) & (b2 > 0))
 
-                e0, a0 = edge(x1, y1, x2, y2)
-                e1, a1 = edge(x2, y2, x0, y0)
-                e2, a2 = edge(x0, y0, x1, y1)
-                mask = a0 & a1 & a2
+            bx0 = jnp.minimum(jnp.minimum(x0, x1), x2)
+            bx1 = jnp.maximum(jnp.maximum(x0, x1), x2)
+            by0 = jnp.minimum(jnp.minimum(y0, y1), y2)
+            by1 = jnp.maximum(jnp.maximum(y0, y1), y2)
+            x_overlap = (bx1 >= tile_px0) & (bx0 <= tile_px1)
 
-                area2 = (e0 + e1 + e2).astype(jnp.float32)
-                inv = jnp.where(area2 != 0.0, 1.0 / area2, 0.0).astype(
-                    jnp.float32
-                )
-                l0 = e0.astype(jnp.float32) * inv
-                l1 = e1.astype(jnp.float32) * inv
-                l2 = e2.astype(jnp.float32) * inv
-                zf = (
-                    l0 * ext(cz0) + l1 * ext(cz1) + l2 * ext(cz2)
-                ).astype(jnp.float32)
-                mask = mask & (zf >= 0.0) & (zf <= 1.0)
+            def band(b):
+                py = (sub_iota + tile_i * th + b * 8) * sub + half
 
-                tri_id = ext(cid)
-                zb = zb_ref[:]
-                tb = tid_ref[:]
-                better = mask & ((zf < zb) | ((zf == zb) & (tri_id < tb)))
-                zb_ref[:] = jnp.where(better, zf, zb)
-                tid_ref[:] = jnp.where(better, tri_id, tb)
+                def do_band():
+                    e0 = a0 * (px - x1) + b0 * (py - y1)
+                    e1 = a1 * (px - x2) + b1 * (py - y2)
+                    e2 = a2 * (px - x0) + b2 * (py - y0)
+                    mask = (
+                        ((e0 > 0) | ((e0 == 0) & t0))
+                        & ((e1 > 0) | ((e1 == 0) & t1))
+                        & ((e2 > 0) | ((e2 == 0) & t2))
+                    )
+                    area2 = (e0 + e1 + e2).astype(jnp.float32)
+                    inv = jnp.where(area2 != 0.0, 1.0 / area2, 0.0).astype(
+                        jnp.float32
+                    )
+                    zf = (
+                        e0.astype(jnp.float32) * inv * z0
+                        + e1.astype(jnp.float32) * inv * z1
+                        + e2.astype(jnp.float32) * inv * z2
+                    ).astype(jnp.float32)
+                    mask = mask & (zf >= 0.0) & (zf <= 1.0)
+                    zb = zb_ref[b * 8 : b * 8 + 8, :]
+                    tb = tid_ref[b * 8 : b * 8 + 8, :]
+                    better = mask & (
+                        (zf < zb) | ((zf == zb) & (tri_id < tb))
+                    )
+                    zb_ref[b * 8 : b * 8 + 8, :] = jnp.where(better, zf, zb)
+                    tid_ref[b * 8 : b * 8 + 8, :] = jnp.where(
+                        better, tri_id, tb
+                    )
 
-            if tile_bounds is not None:
-                # scalar tile/bbox overlap test: skip the vector math for
-                # large triangles that don't touch this tile
-                tpx0, tpx1, tpy0, tpy1 = tile_bounds
-                bx0 = jnp.minimum(jnp.minimum(x0, x1), x2)
-                bx1 = jnp.maximum(jnp.maximum(x0, x1), x2)
-                by0 = jnp.minimum(jnp.minimum(y0, y1), y2)
-                by1 = jnp.maximum(jnp.maximum(y0, y1), y2)
-                overlap = (
-                    (bx1 >= tpx0) & (bx0 <= tpx1) & (by1 >= tpy0) & (by0 <= tpy1)
-                )
+                band_py0 = tile_py + b * 8 * sub
+                band_py1 = band_py0 + 7 * sub
+                hit = x_overlap & (by1 >= band_py0) & (by0 <= band_py1)
 
-                @pl.when(overlap)
+                @pl.when(hit)
                 def _():
-                    do_raster()
+                    do_band()
 
-            else:
-                do_raster()
+            for b in range(nbands):
+                band(b)
             return 0
 
         jax.lax.fori_loop(0, jnp.minimum(CHUNK, n - q * CHUNK), tri_body, 0)
@@ -160,37 +180,25 @@ def _vis_kernel(
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    half = sub // 2
-    # fixed-point pixel centers for this tile. For sharded bands the caller
-    # translates all triangle Y coords by -y_offset (exact int translation;
-    # coverage/depth are translation-invariant), so rows here are band-local.
-    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + i * th
-    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
-    px = ix * sub + half
-    py = iy * sub + half
-
+    # For sharded bands the caller translates all triangle Y coords by
+    # -y_offset (exact int translation; coverage/depth are translation-
+    # invariant), so rows here are band-local.
     tid_ref[:] = jnp.full((th, tw), BG, jnp.int32)
     zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    bounds = (
-        j * tw * sub + half,
-        (j * tw + tw - 1) * sub + half,
-        i * th * sub + half,
-        (i * th + th - 1) * sub + half,
-    )
     _raster_records(
         (lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid),
         lcount_ref[0],
-        px, py, zb_ref, tid_ref, sub_iota, lane_iota, tile_bounds=bounds,
+        i, j, zb_ref, tid_ref, sub_iota, lane_iota, th=th, tw=tw, sub=sub,
     )
     small = tuple(r.at[0] for r in (sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid))
     _raster_records(
         small,
         counts_ref[i * ntx + j],
-        px, py, zb_ref, tid_ref, sub_iota, lane_iota,
+        i, j, zb_ref, tid_ref, sub_iota, lane_iota, th=th, tw=tw, sub=sub,
     )
 
 
