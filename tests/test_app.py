@@ -91,3 +91,28 @@ def test_frame_timer():
         pass
     rep = json.loads(t.report(pixels_per_frame=100))
     assert "fps" in rep and "frame" in rep
+
+
+def test_clip_budget_overflow_is_loud():
+    """Tiny clip budget + many crossing tris must raise in strict readback
+    (SURVEY §7.3.1: fixed capacity + fail loudly)."""
+    import dataclasses
+
+    from xr.app.renderer import Renderer
+    from xr.core.types import MODE_FLAT
+
+    rng = np.random.default_rng(5)
+    scene = random_scene(rng, 64)
+    # camera very close so most tris cross the near plane
+    cam = fixed_camera().replace(
+        eye=np.asarray((0.0, 0.0, 0.6), np.float32),
+        near=np.asarray(0.5, np.float32),
+    )
+    cfg = RenderConfig(width=32, height=32, mode=MODE_FLAT, clip_budget=2)
+    r = Renderer(scene, cfg)
+    f = r.step(scene, cam)
+    if int(np.asarray(f.stats["clip_overflow"])) > 0:
+        with pytest.raises(RuntimeError, match="clip_overflow"):
+            r.readback(f)
+    else:
+        pytest.skip("scene did not overflow the clip budget")

@@ -146,10 +146,14 @@ def clip_triangles(pos, attr, guard: float, xp=np):
         pl = planes[p]
         d = xp.sum(poly[:, :, :4] * pl, axis=2)  # (T, MAXV)
         live = slot < cnt[:, None]
-        nxt = xp.where(slot + 1 >= cnt[:, None], 0, slot + 1)
-        d_next = xp.take_along_axis(d, nxt, axis=1)
-        v_next = xp.take_along_axis(
-            poly, nxt[:, :, None].astype(xp.int32) * xp.ones((1, 1, 4 + A), xp.int32), axis=1
+        # "next" vertex = roll by one with the polygon wrap fixed up at the
+        # last live slot (elementwise; gathers here dominated the frame)
+        is_last = slot == (cnt[:, None] - 1)
+        d_next = xp.where(is_last, d[:, 0][:, None], xp.roll(d, -1, axis=1))
+        v_next = xp.where(
+            is_last[:, :, None],
+            poly[:, 0][:, None, :],
+            xp.roll(poly, -1, axis=1),
         )
         inside = (d >= 0.0) & live
         crosses = ((d >= 0.0) != (d_next >= 0.0)) & live
@@ -386,21 +390,12 @@ def geometry(
     F = MAX_FAN
     k = xp.arange(F)
     fan_valid = (k[None, :] + 2) < cnt[:, None]  # (B,F)
-    idx1 = xp.broadcast_to((k + 1)[None, :], (B, F)).astype(xp.int32)
-    idx2 = xp.broadcast_to((k + 2)[None, :], (B, F)).astype(xp.int32)
-
-    def gather_poly(arr, idx):
-        # arr (B,MAXV,D), idx (B,F) -> (B,F,D)
-        return xp.take_along_axis(
-            arr,
-            idx[:, :, None] * xp.ones((1, 1, arr.shape[2]), xp.int32),
-            axis=1,
-        )
 
     def fan(arr):
+        # fan triangle k = polygon verts (0, k+1, k+2): STATIC slices
         v0 = xp.broadcast_to(arr[:, None, 0], (B, F) + arr.shape[2:])
         return xp.stack(
-            [v0, gather_poly(arr, idx1), gather_poly(arr, idx2)], axis=2
+            [v0, arr[:, 1 : 1 + F], arr[:, 2 : 2 + F]], axis=2
         )
 
     fposB = fan(poly_pos)  # (B,F,3,4)
