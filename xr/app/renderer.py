@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,6 @@ from xr.core.types import (
 )
 from xr.pipeline.geometry import clip_capacity, geometry
 from xr.pipeline.shadow import light_matrices_for_scene
-from xr.raster import common as rc
 from xr.raster import jnp_backend
 from xr.shading.deferred import shade_deferred
 

@@ -154,9 +154,9 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
         b = ((q >> 16) & 0xFF).astype(xp.float32)
         return xp.stack([r, g, b], axis=-1) * inv255
 
-    def sample_level(lk):
-        s = sizes[lk]  # (...,) i32 per-pixel level size
-        off = offsets[lk]
+    def fractions(lk):
+        """Bilinear anchor + fractions at per-pixel level lk."""
+        s = sizes[lk]
         sf = s.astype(xp.float32)
         tu = u * sf - 0.5
         tv = v * sf - 0.5
@@ -164,24 +164,50 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
         j0 = xp.floor(tv)
         fu = (tu - i0).astype(xp.float32)
         fv = (tv - j0).astype(xp.float32)
-        i0 = i0.astype(xp.int32)
-        j0 = j0.astype(xp.int32)
-        m = s - 1
-        i0w = i0 & m
-        j0w = j0 & m
+        return i0.astype(xp.int32), j0.astype(xp.int32), fu, fv, s
 
-        q = pyramid.quads[tex_id, off + j0w * s + i0w]  # (..., 4) ONE gather
-        t00 = unpack(q[..., 0])
-        t01 = unpack(q[..., 1])
-        t10 = unpack(q[..., 2])
-        t11 = unpack(q[..., 3])
+    def bilerp(t00, t01, t10, t11, fu, fv):
         top = t00 + (t01 - t00) * fu[..., None]
         bot = t10 + (t11 - t10) * fu[..., None]
         return top + (bot - top) * fv[..., None]
 
-    c0 = sample_level(l0)
-    c1 = sample_level(l1)
+    i0, j0, fu0, fv0, s0 = fractions(l0)
+    row = pyramid.quads[
+        tex_id, offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
+    ]  # (..., 13): the ONLY texture gather — own quad + parent 3x3
+
+    c0 = bilerp(
+        unpack(row[..., 0]), unpack(row[..., 1]),
+        unpack(row[..., 2]), unpack(row[..., 3]),
+        fu0, fv0,
+    )
+
+    # parent level: 3x3 block anchored at (j0//2 - 1, i0//2 - 1); the true
+    # bilinear anchor (i1, j1) is inside it with relative offset in {0, 1}
+    i1, j1, fu1, fv1, _ = fractions(l1)
+    # NOTE floor division of the possibly-negative unwrapped i0 matches the
+    # packer's (i//2 - 1) on wrapped coords because both are mod size/2
+    di = i1 - (_floor_div2(i0, xp) - 1)  # in {0, 1}
+    dj = j1 - (_floor_div2(j0, xp) - 1)
+
+    def parent(r, c):
+        # texel (dj+r, di+c) of the 3x3 block: channels 4 + 3*(dj+r)+(di+c)
+        base_idx = 4 + 3 * r + c
+        lo = unpack(row[..., base_idx])          # dj==0, di==0
+        l1v = unpack(row[..., base_idx + 1])     # dj==0, di==1
+        hi = unpack(row[..., base_idx + 3])      # dj==1, di==0
+        h1 = unpack(row[..., base_idx + 4])      # dj==1, di==1
+        a = xp.where((di == 1)[..., None], l1v, lo)
+        b = xp.where((di == 1)[..., None], h1, hi)
+        return xp.where((dj == 1)[..., None], b, a)
+
+    c1 = bilerp(parent(0, 0), parent(0, 1), parent(1, 0), parent(1, 1), fu1, fv1)
     return (c0 + (c1 - c0) * frac[..., None]).astype(xp.float32)
+
+
+def _floor_div2(a, xp):
+    """Floor division by 2 for possibly-negative int32 (arithmetic shift)."""
+    return a >> 1
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ RenderConfig. Scripted camera paths replace the reference's FPS-camera input
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import numpy as np
 

@@ -12,19 +12,38 @@ from xr.core.types import TexturePyramid
 
 
 def _pack_quads(levels) -> np.ndarray:
-    """Quad-packed sampling layout: for each level (S,S,3) f32, quantize to
-    RGB8-in-u32 and store, per texel p=(j,i), the 2x2 wrap-neighbor quad
-    (p, p+x, p+y, p+xy) — ONE gather per bilinear footprint on TPU."""
-    rows = []
+    """Trilinear sampling layout: for each level-l texel p=(j,i) a 13-u32
+    row: [own 2x2 wrap-neighbor quad (p, p+x, p+y, p+xy)] + [the 3x3 block
+    of level l+1 anchored at (j//2-1, i//2-1), wrap], each texel packed
+    RGB8-in-u32. The parent 3x3 provably contains the level-(l+1) bilinear
+    footprint for ANY subtexel position over p (anchor ambiguity of the
+    half-resolution floor is +-1), so a FULL trilinear sample needs ONE
+    gather (the last level parents itself; its lerp weight is 0)."""
+    packed = []
     for lv in levels:
         q8 = np.floor(np.clip(lv, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint32)
-        u32 = q8[:, :, 0] | (q8[:, :, 1] << 8) | (q8[:, :, 2] << 16)
+        packed.append(q8[:, :, 0] | (q8[:, :, 1] << 8) | (q8[:, :, 2] << 16))
+
+    rows = []
+    for l, u32 in enumerate(packed):
+        s = u32.shape[0]
         xs = np.roll(u32, -1, axis=1)
         ys = np.roll(u32, -1, axis=0)
         xy = np.roll(ys, -1, axis=1)
-        rows.append(
-            np.stack([u32, xs, ys, xy], axis=-1).reshape(-1, 4)
-        )
+        own = np.stack([u32, xs, ys, xy], axis=-1)  # (s, s, 4)
+
+        par = packed[min(l + 1, len(packed) - 1)]
+        sp = par.shape[0]
+        j = np.arange(s)[:, None]
+        i = np.arange(s)[None, :]
+        jp = (j // 2 - 1) % sp
+        ip = (i // 2 - 1) % sp
+        blocks = []
+        for r in range(3):
+            for c in range(3):
+                blocks.append(par[(jp + r) % sp, (ip + c) % sp])
+        parent = np.stack(blocks, axis=-1)  # (s, s, 9)
+        rows.append(np.concatenate([own, parent], axis=-1).reshape(-1, 13))
     return np.concatenate(rows, axis=0)
 
 

@@ -15,8 +15,6 @@ Parameterized by ``xp`` so the CPU oracle shades with literally this code
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import numpy as np
 
 from xr.core import fixedpoint as fp
