@@ -54,3 +54,26 @@ def test_pallas_tpu_matches_jnp(preset_fn):
     t_p, z_p, _ = pb.visibility_binned(tri, cfg)
     assert (np.asarray(t_j) == np.asarray(t_p)).all()
     assert (np.asarray(z_j) == np.asarray(z_p)).all()
+
+
+@pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
+def test_pallas_smem_interpret_matches_jnp(preset_fn):
+    from xr.raster import pallas_smem as psm
+
+    tri, cfg = _tri_and_cfg(preset_fn())
+    t_j, z_j, of_j = jb.visibility_binned(tri, cfg)
+    t_p, z_p, of_p = psm.visibility_binned(tri, cfg, interpret=True)
+    assert int(of_j) == int(of_p) == 0
+    assert (np.asarray(t_j) == np.asarray(t_p)).all()
+    assert (np.asarray(z_j) == np.asarray(z_p)).all()
+
+
+@pytest.mark.tpu
+def test_pallas_smem_tpu_matches_jnp():
+    from xr.raster import pallas_smem as psm
+
+    tri, cfg = _tri_and_cfg(config2_icospheres())
+    t_j, z_j, _ = jb.visibility_binned(tri, cfg)
+    t_p, z_p, _ = psm.visibility_binned(tri, cfg)
+    assert (np.asarray(t_j) == np.asarray(t_p)).all()
+    assert (np.asarray(z_j) == np.asarray(z_p)).all()

@@ -36,37 +36,13 @@ from xr.core.types import (
 )
 from xr.pipeline.geometry import clip_capacity, geometry
 from xr.pipeline.shadow import light_matrices_for_scene
-from xr.raster import jnp_backend
+from xr.raster import dispatch
 from xr.shading.deferred import shade_deferred
-
-
-def _use_pallas(config: RenderConfig) -> bool:
-    if config.backend == "pallas":
-        return True
-    if config.backend == "jnp":
-        return False
-    return jax.default_backend() in ("tpu", "axon")
-
-
-def _visibility(tri, config: RenderConfig, capacity: int):
-    """Dispatch to the configured visibility backend. Returns
-    (tid, zbuf, bin_overflow)."""
-    path = config.raster_path
-    if path == "auto":
-        path = "brute" if capacity <= 2048 else "binned"
-    if path == "brute":
-        tid, zbuf = jnp_backend.visibility_brute(tri, config)
-        return tid, zbuf, jnp.int32(0)
-    if _use_pallas(config):
-        from xr.raster import pallas_backend
-
-        return pallas_backend.visibility_binned(tri, config)
-    return jnp_backend.visibility_binned(tri, config)
 
 
 def _depth_pass(scene, view, proj, config: RenderConfig, capacity: int):
     tri = geometry(scene, view, proj, config, xp=jnp, capacity=capacity)
-    tid, zbuf, bin_of = _visibility(tri, config, capacity)
+    tid, zbuf, bin_of = dispatch.visibility(tri, config, capacity)
     depth = jnp.where(jnp.isinf(zbuf), 1.0, zbuf).astype(jnp.float32)
     return tri, tid, depth, bin_of
 

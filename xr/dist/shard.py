@@ -34,7 +34,7 @@ from xr.core import math3d as m3
 from xr.core import shade_math as sm
 from xr.core.types import MODE_DEPTH_ONLY, MODE_PHONG, Frame, RenderConfig, Scene
 from xr.pipeline.geometry import clip_capacity, geometry
-from xr.raster import jnp_backend
+from xr.raster import dispatch
 from xr.shading.deferred import shade_deferred
 
 
@@ -99,7 +99,7 @@ def render_step_sharded(
                 scene, jnp.asarray(light_view), jnp.asarray(light_proj),
                 shadow_cfg, xp=jnp, capacity=cap,
             )
-            _, s_zbuf, _ = jnp_backend.visibility_binned(s_tri, shadow_cfg)
+            _, s_zbuf, _ = dispatch.visibility(s_tri, shadow_cfg, cap)
             shadow_depth = jnp.where(jnp.isinf(s_zbuf), 1.0, s_zbuf).astype(
                 jnp.float32
             )
@@ -107,8 +107,8 @@ def render_step_sharded(
         # geometry sees the FULL frame (its screen reject must not cull
         # triangles belonging to other bands); only raster/shade are banded
         tri = geometry(scene, view, proj, config, xp=jnp, capacity=cap)
-        tid, zbuf, bin_of = jnp_backend.visibility_binned(
-            tri, band_cfg, y_offset=y_off
+        tid, zbuf, bin_of = dispatch.visibility(
+            tri, band_cfg, cap, y_offset=y_off
         )
         depth = jnp.where(jnp.isinf(zbuf), 1.0, zbuf).astype(jnp.float32)
 

@@ -1,0 +1,43 @@
+"""Visibility-backend dispatch shared by the renderer and the sharded path.
+
+Backends (all bit-identical results):
+  jnp        — portable (CPU mesh tests, fallback)
+  pallas     — Pallas TPU kernel, VMEM records + masked-reduce extraction
+  pallas_smem — Pallas TPU kernel, SMEM records + scalar loads (default on
+                TPU: vector->scalar moves serialized the triangle loop)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xr.core.types import RenderConfig
+from xr.raster import jnp_backend
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
+    """Returns (tid, zbuf, bin_overflow) via the configured backend."""
+    path = config.raster_path
+    if path == "auto":
+        path = "brute" if capacity <= 2048 else "binned"
+    if path == "brute":
+        tid, zbuf = jnp_backend.visibility_brute(tri, config, y_offset=y_offset)
+        return tid, zbuf, jnp.int32(0) + 0 * jnp.asarray(y_offset, jnp.int32)
+
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas_smem" if on_tpu() else "jnp"
+    if backend == "pallas_smem":
+        from xr.raster import pallas_smem
+
+        return pallas_smem.visibility_binned(tri, config, y_offset=y_offset)
+    if backend == "pallas":
+        from xr.raster import pallas_backend
+
+        return pallas_backend.visibility_binned(tri, config, y_offset=y_offset)
+    return jnp_backend.visibility_binned(tri, config, y_offset=y_offset)

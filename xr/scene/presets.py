@@ -121,7 +121,8 @@ def config2_icospheres() -> Preset:
         )
         return cam, xp.asarray(_identity_mats(), xp.float32)
 
-    cfg = RenderConfig(width=1920, height=1080, mode=MODE_GOURAUD, bin_capacity=4096)
+    cfg = RenderConfig(width=1920, height=1080, mode=MODE_GOURAUD,
+                       tile_h=128, tile_w=128, bin_capacity=2048)
     return Preset("config2_icospheres", scene, animate, cfg)
 
 
@@ -163,7 +164,8 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
         )
         return cam, xp.asarray(_identity_mats(), xp.float32)
 
-    cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED, bin_capacity=4096)
+    cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED,
+                       tile_h=128, tile_w=128, bin_capacity=2048)
     return Preset("config3_terrain", scene, animate, cfg)
 
 
