@@ -48,6 +48,7 @@ def shade_deferred(
     """Shade a visibility buffer into (H, W, 3) f32 linear color.
 
     tid: (H, W) i32 winning triangle ids (BG_TRI_ID = background).
+    Internally shades flat (H*W,) pixel vectors (layout-friendly gathers).
     px, py: optional precomputed fixed-point pixel grids; y_offset shifts the
     pixel rows for sharded framebuffer bands (SURVEY.md §5.8).
     """
@@ -58,12 +59,21 @@ def shade_deferred(
         px, py = pixel_grids(W, H, config.subpixel, xp)
         py = py + xp.asarray(y_offset, xp.int32) * config.subpixel
 
+    # shade on FLAT (H*W,) pixels: gathers then produce natural {1,0}-layout
+    # rows and XLA inserts no relayout copies; reshape once at the end
+    tid = tid.reshape(-1)
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+
+    def out(color_flat):
+        return color_flat.reshape(H, W, 3)
+
     bg = tid == BG_TRI_ID
     t = xp.where(bg, 0, tid)
 
     if config.mode == MODE_FLAT:
         color = tri.face_rgb[t]
-        return _with_bg(color, bg, config, xp)
+        return out(_with_bg(color, bg, config, xp))
 
     # ONE wide-row gather for all per-pixel triangle data: XLA vectorizes a
     # (H,W)-indexed gather of contiguous (C, R) rows far better than many
@@ -84,7 +94,7 @@ def shade_deferred(
     attrs = xp.sum(lam[..., None] * attr_w, axis=-2) * inv_denom[..., None]
 
     if config.mode == MODE_GOURAUD:
-        return _with_bg(attrs[..., 0:3], bg, config, xp)
+        return out(_with_bg(attrs[..., 0:3], bg, config, xp))
 
     mat_id = _bits_to_i32(rec[..., 9 + 3 * A], xp)
     mats = scene.materials
@@ -96,7 +106,7 @@ def shade_deferred(
             tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
             mat_id, xs, ys, uv_slot=0, xp=xp,
         )
-        return _with_bg(texc * lit, bg, config, xp)
+        return out(_with_bg(texc * lit, bg, config, xp))
 
     assert config.mode == MODE_PHONG
     world = attrs[..., 0:3]
@@ -131,7 +141,7 @@ def shade_deferred(
         shadow_factor=shadow,
         xp=xp,
     )
-    return _with_bg(color, bg, config, xp)
+    return out(_with_bg(color, bg, config, xp))
 
 
 def _is_np(xp) -> bool:
