@@ -67,6 +67,10 @@ def main():
         import jax
         import jax.numpy as jnp
 
+        from xr.app.platform import apply_platform_env
+
+        apply_platform_env()
+
         scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
         if cfg.num_shards > 1:
             from xr.dist.shard import ShardedRenderer

@@ -29,3 +29,27 @@ from xr.core.types import (  # noqa: F401
     Scene,
     Frame,
 )
+
+__all__ = [
+    "MODE_FLAT", "MODE_GOURAUD", "MODE_TEXTURED", "MODE_PHONG",
+    "MODE_DEPTH_ONLY", "RenderConfig", "Mesh", "Camera", "Lights",
+    "Material", "Scene", "Frame", "Renderer", "ShardedRenderer",
+    "render_frame",
+]
+
+
+def __getattr__(name):
+    # lazy: importing the renderers pulls in jax device init
+    if name == "Renderer":
+        from xr.app.renderer import Renderer
+
+        return Renderer
+    if name == "ShardedRenderer":
+        from xr.dist.shard import ShardedRenderer
+
+        return ShardedRenderer
+    if name == "render_frame":
+        from xr.cpu_ref import render_frame
+
+        return render_frame
+    raise AttributeError(name)
