@@ -20,6 +20,17 @@ def on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _pad128(n: int) -> int:
+    return (n + 127) // 128 * 128
+
+
+def _smem_bytes(config: RenderConfig) -> int:
+    """SMEM footprint of the pallas_smem kernel's record windows."""
+    small = 10 * 4 * _pad128(config.bin_capacity) * 2  # double-buffered
+    large = 10 * 4 * _pad128(config.large_capacity)
+    return small + large
+
+
 def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
     """Returns (tid, zbuf, bin_overflow) via the configured backend."""
     path = config.raster_path
@@ -32,6 +43,9 @@ def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
     backend = config.backend
     if backend == "auto":
         backend = "pallas_smem" if on_tpu() else "jnp"
+    if backend == "pallas_smem" and _smem_bytes(config) > 900_000:
+        # v5e has ~1MB of SMEM; big bin capacities only fit in VMEM
+        backend = "pallas"
     if backend == "pallas_smem":
         from xr.raster import pallas_smem
 

@@ -293,7 +293,11 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         height=1080,
         mode=MODE_TEXTURED,
         num_shards=4,
+        tile_h=32,
+        tile_w=128,
         bin_capacity=16384,
+        large_capacity=4096,
+        clip_budget=8192,
     )
     return Preset("config5_flythrough", scene, animate, cfg)
 
