@@ -43,13 +43,16 @@ def main(frames: int = 30):
     stats = {k: int(np.asarray(v)) for k, v in f.stats.items()}
     assert stats["clip_overflow"] == 0 and stats["bin_overflow"] == 0, stats
 
-    times = []
     last = None
     t0 = time.perf_counter()
     for i in range(frames):
         last = frame_at(0.05 * (i + 1))
     jax.block_until_ready(last.color)
     dt = (time.perf_counter() - t0) / frames
+    last_stats = {k: int(np.asarray(v)) for k, v in last.stats.items()}
+    assert last_stats["clip_overflow"] == 0 and last_stats["bin_overflow"] == 0, (
+        last_stats
+    )
 
     fps = 1.0 / dt
     mpix = (p.config.width * p.config.height) * fps / 1e6

@@ -12,6 +12,8 @@ client initializes).
 import os
 
 _platform = os.environ.get("XR_TEST_PLATFORM", "cpu")
+if _platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+    _platform = "axon,cpu"  # this box's TPU registers as the axon platform
 os.environ["JAX_PLATFORMS"] = _platform
 if _platform == "cpu":
     flags = os.environ.get("XLA_FLAGS", "")
