@@ -80,6 +80,28 @@ def _is_np(xp) -> bool:
     return xp is np
 
 
+def _no_fuse(x, xp):
+    """Materialize (round) an intermediate so XLA cannot FMA-fuse across it
+    (numpy always rounds; identical rounding keeps oracle/device bit-equal —
+    this environment forces --xla_allow_excess_precision)."""
+    if _is_np(xp):
+        return x
+    import jax
+
+    return jax.lax.optimization_barrier(x)
+
+
+def _plane_distances(pos4, planes, xp):
+    """Signed distances of (..., 4) clip positions to (P, 4) planes, with a
+    FIXED f32 op order (each product rounded, left-assoc adds) so the numpy
+    oracle and XLA produce bit-identical values; classification and clip
+    interpolation both hinge on these exact bits (SURVEY.md §7.3.3)."""
+    terms = [
+        _no_fuse(pos4[..., None, c] * planes[:, c], xp) for c in range(4)
+    ]
+    return ((terms[0] + terms[1]) + terms[2]) + terms[3]  # (..., P)
+
+
 def _row_scatter(dst, rows, cols, src, mask, xp):
     """dst[rows, cols] = src where mask (rows/cols/src/mask same shape).
 
@@ -143,8 +165,8 @@ def clip_triangles(pos, attr, guard: float, xp=np):
     slot = xp.broadcast_to(xp.arange(MAXV)[None, :], (T, MAXV))
 
     for p in range(6):
-        pl = planes[p]
-        d = xp.sum(poly[:, :, :4] * pl, axis=2)  # (T, MAXV)
+        pl = planes[p : p + 1]
+        d = _plane_distances(poly[:, :, :4], pl, xp)[..., 0]  # (T, MAXV)
         live = slot < cnt[:, None]
         # "next" vertex = roll by one with the polygon wrap fixed up at the
         # last live slot (elementwise; gathers here dominated the frame)
@@ -161,7 +183,12 @@ def clip_triangles(pos, attr, guard: float, xp=np):
         t = xp.where(crosses, d / xp.where(denom == 0.0, 1.0, denom), 0.0).astype(
             xp.float32
         )
-        inter = poly + t[:, :, None] * (v_next - poly)
+        # round the product BEFORE the add on both backends: XLA otherwise
+        # contracts this lerp into an FMA, and vertices cut exactly on a
+        # plane get z = +-eps instead of numpy's exact 0 — which flips
+        # (z, id) depth ties between coplanar clipped surfaces
+        step = _no_fuse(t[:, :, None] * (v_next - poly), xp)
+        inter = poly + step
 
         emit = inside.astype(xp.int32) + crosses.astype(xp.int32)
         start = xp.cumsum(emit, axis=1) - emit  # exclusive prefix sum
@@ -370,7 +397,7 @@ def geometry(
     )
 
     planes = _plane_vectors(config.guard_band, xp)  # (6,4)
-    d = xp.einsum("tvc,pc->tvp", tri_pos, planes)  # (T,3,6)
+    d = _plane_distances(tri_pos, planes, xp)  # (T,3,6)
     inside_all = xp.all(d >= 0.0, axis=(1, 2))
     outside_any = xp.any(xp.all(d < 0.0, axis=1), axis=1)
     crossing = (~inside_all) & (~outside_any)
