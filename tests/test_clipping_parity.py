@@ -83,13 +83,12 @@ def test_clipped_fans_ordering_vs_oracle():
     fighting = mismatch | zdiff
     frac = fighting.mean()
     assert frac < 0.02, f"{frac:.1%} pixels differ (z-fighting budget is 2%)"
-    # everywhere else depth must match to fp tolerance
+    # everywhere else depth must match to fp tolerance (fights happen along
+    # surface-intersection lines and the near-plane cut, where two surfaces
+    # coincide in z within ULPs — at ANY depth)
     np.testing.assert_allclose(
         df.depth[~fighting], of.depth[~fighting], atol=1e-5
     )
-    # and the fights must sit at near-zero depth (the near-plane cut)
-    if fighting.any():
-        assert np.asarray(df.depth)[fighting].max() < 0.05
 
 
 def test_multi_instance_transforms():
