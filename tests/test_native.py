@@ -94,3 +94,46 @@ def test_obj_roundtrip(tmp_path):
     tri_a = np.asarray(mesh.positions)[np.asarray(mesh.indices)]
     tri_b = np.asarray(back.positions)[np.asarray(back.indices)]
     np.testing.assert_allclose(tri_a, tri_b, atol=2e-5)
+
+
+def test_load_obj_scene_with_mtl(tmp_path):
+    """OBJ + MTL + map_Kd texture -> renderable Scene end-to-end."""
+    from xr.core.image import write_png
+    from xr.cpu_ref import render_frame
+    from xr.core.types import MODE_PHONG, RenderConfig, Camera
+    from xr.scene.objio import load_obj_scene
+
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[::2, ::2] = 255
+    write_png(str(tmp_path / "checker.png"), tex)
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl red\nKd 0.9 0.1 0.1\nKs 0.5 0.5 0.5\nNs 64\n"
+        "newmtl texd\nKd 1 1 1\nmap_Kd checker.png\n"
+    )
+    (tmp_path / "scene.obj").write_text(
+        "mtllib scene.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "vn 0 0 1\n"
+        "usemtl red\nf 1/1/1 2/2/1 3/3/1\n"
+        "usemtl texd\nf 1/1/1 3/3/1 4/4/1\n"
+    )
+    scene = load_obj_scene(str(tmp_path / "scene.obj"))
+    assert scene.materials.base_color.shape[0] == 2
+    assert scene.textures is not None and scene.textures.base_size == 8
+    assert scene.materials.tex_id.tolist() == [-1, 0]
+    np.testing.assert_allclose(scene.materials.base_color[0], (0.9, 0.1, 0.1))
+    assert float(scene.materials.shininess[0]) == 64.0
+
+    cam = Camera(
+        eye=np.asarray((0, 0, 3.0), np.float32),
+        target=np.zeros(3, np.float32),
+        up=np.asarray((0, 1.0, 0), np.float32),
+        fov_y=np.asarray(np.deg2rad(60.0), np.float32),
+        near=np.asarray(0.3, np.float32),
+        far=np.asarray(10.0, np.float32),
+    )
+    frame = render_frame(
+        scene, cam, RenderConfig(width=48, height=48, mode=MODE_PHONG)
+    )
+    assert (frame.depth < 1.0).any()

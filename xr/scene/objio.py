@@ -7,6 +7,7 @@ parser below is the fallback AND the parity oracle for the native one.
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -136,6 +137,99 @@ def compute_vertex_normals(pos: np.ndarray, idx: np.ndarray) -> np.ndarray:
         np.add.at(n, idx[:, k], fn)
     ln = np.linalg.norm(n, axis=1, keepdims=True)
     return (n / np.maximum(ln, 1e-20)).astype(np.float32)
+
+
+def parse_mtl(path: str):
+    """Parse a Wavefront .mtl file -> {name: {Kd, Ks, Ns, map_Kd}}."""
+    mats = {}
+    cur = None
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("newmtl"):
+                cur = s[6:].strip()
+                mats[cur] = {}
+            elif cur is None:
+                continue
+            elif s.startswith("Kd "):
+                mats[cur]["Kd"] = tuple(float(x) for x in s.split()[1:4])
+            elif s.startswith("Ks "):
+                mats[cur]["Ks"] = tuple(float(x) for x in s.split()[1:4])
+            elif s.startswith("Ns "):
+                mats[cur]["Ns"] = float(s.split()[1])
+            elif s.startswith("map_Kd"):
+                mats[cur]["map_Kd"] = s[6:].strip()
+    return mats
+
+
+def load_obj_scene(path: str, lights=None, native: bool = True):
+    """Load an OBJ (+ its .mtl, + map_Kd textures) as a renderable Scene.
+
+    MTL mapping to the xr material model: base_color = Kd, ks = mean(Ks),
+    shininess = Ns, map_Kd -> texture (resized/padded to the largest
+    power-of-two square among the maps). Missing .mtl -> default material.
+    """
+    from xr.core.image import read_png
+    from xr.core.types import Lights, Material, Scene
+    from xr.scene.texture import build_pyramid
+
+    mesh, names = load_obj(path, native=native)
+
+    # find mtllib reference
+    mtl = {}
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("mtllib"):
+                mp = os.path.join(base_dir, s[6:].strip())
+                if os.path.exists(mp):
+                    mtl.update(parse_mtl(mp))
+
+    rows, images = [], []
+    for name in names:
+        m = mtl.get(name, {})
+        row = {
+            "base_color": m.get("Kd", (0.8, 0.8, 0.8)),
+            "ks": float(np.mean(m.get("Ks", (0.0, 0.0, 0.0)))),
+            "shininess": m.get("Ns", 32.0),
+            "tex_id": -1,
+        }
+        tex = m.get("map_Kd")
+        if tex:
+            tp = os.path.join(base_dir, tex)
+            if os.path.exists(tp):
+                img = read_png(tp).astype(np.float32) / 255.0
+                row["tex_id"] = len(images)
+                images.append(img)
+        rows.append(row)
+
+    pyramid = None
+    if images:
+        size = 1
+        for im in images:
+            size = max(size, 1 << (max(im.shape[0], im.shape[1]) - 1).bit_length())
+        resized = []
+        for im in images:
+            # nearest-neighbor resample to the common power-of-two square
+            yi = (np.arange(size) * im.shape[0] // size).clip(0, im.shape[0] - 1)
+            xi = (np.arange(size) * im.shape[1] // size).clip(0, im.shape[1] - 1)
+            resized.append(im[yi][:, xi])
+        pyramid = build_pyramid(resized)
+
+    if lights is None:
+        lights = Lights.make(
+            dir_dirs=[(-0.4, -0.8, -0.45)],
+            dir_colors=[(1.0, 1.0, 1.0)],
+            ambient=(0.15, 0.15, 0.15),
+        )
+    return Scene(
+        mesh=mesh,
+        materials=Material.table(rows),
+        textures=pyramid,
+        lights=lights,
+        model_matrices=np.eye(4, dtype=np.float32)[None],
+    )
 
 
 def save_obj(path: str, mesh: Mesh) -> None:
