@@ -77,3 +77,37 @@ def test_pallas_smem_tpu_matches_jnp():
     t_p, z_p, _ = psm.visibility_binned(tri, cfg)
     assert (np.asarray(t_j) == np.asarray(t_p)).all()
     assert (np.asarray(z_j) == np.asarray(z_p)).all()
+
+
+@pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
+def test_pallas_stream_interpret_matches_jnp(preset_fn):
+    from xr.raster import pallas_stream as pst
+
+    tri, cfg = _tri_and_cfg(preset_fn())
+    t_j, z_j, of_j = jb.visibility_binned(tri, cfg)
+    t_p, z_p, of_p = pst.visibility_binned(tri, cfg, interpret=True)
+    assert int(of_j) == int(of_p) == 0
+    assert (np.asarray(t_j) == np.asarray(t_p)).all()
+    assert (np.asarray(z_j) == np.asarray(z_p)).all()
+
+
+def test_pallas_stream_interpret_y_offset():
+    from xr.raster import pallas_stream as pst
+
+    tri, cfg = _tri_and_cfg(config2_icospheres())
+    band = dataclasses.replace(cfg, height=32)
+    t_f, z_f, _ = jb.visibility_binned(tri, cfg)
+    t_b, z_b, _ = pst.visibility_binned(tri, band, y_offset=32, interpret=True)
+    assert (np.asarray(t_b) == np.asarray(t_f)[32:64]).all()
+    assert (np.asarray(z_b) == np.asarray(z_f)[32:64]).all()
+
+
+@pytest.mark.tpu
+def test_pallas_stream_tpu_matches_jnp():
+    from xr.raster import pallas_stream as pst
+
+    tri, cfg = _tri_and_cfg(config2_icospheres())
+    t_j, z_j, _ = jb.visibility_binned(tri, cfg)
+    t_p, z_p, _ = pst.visibility_binned(tri, cfg)
+    assert (np.asarray(t_j) == np.asarray(t_p)).all()
+    assert (np.asarray(z_j) == np.asarray(z_p)).all()

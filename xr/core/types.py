@@ -93,6 +93,11 @@ class RenderConfig:
     # per-triangle bin fan-out statically bounded (SURVEY.md §7.3.1).
     large_capacity: int = 1024
 
+    # Streaming-kernel global entry capacity, as a multiple of the post-clip
+    # triangle capacity (total bin entries across ALL tiles; <= 4x by
+    # construction, ~1.2x typical). Overflow is counted loudly.
+    stream_expand: float = 2.0
+
     # Raster backend: "jnp" (portable, runs on CPU mesh tests) or "pallas"
     # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
     backend: str = "auto"

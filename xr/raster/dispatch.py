@@ -1,10 +1,12 @@
 """Visibility-backend dispatch shared by the renderer and the sharded path.
 
 Backends (all bit-identical results):
-  jnp        — portable (CPU mesh tests, fallback)
-  pallas     — Pallas TPU kernel, VMEM records + masked-reduce extraction
-  pallas_smem — Pallas TPU kernel, SMEM records + scalar loads (default on
-                TPU: vector->scalar moves serialized the triangle loop)
+  jnp          — portable (CPU mesh tests, fallback)
+  pallas       — Pallas TPU kernel, VMEM record windows + masked-reduce
+  pallas_smem  — Pallas TPU kernel, SMEM record windows + scalar loads
+  pallas_stream — Pallas TPU kernel over block-aligned sorted segments with
+                scalar-prefetch-driven index maps (default on TPU: no
+                per-tile capacity, cost scales with actual bin entries)
 """
 
 from __future__ import annotations
@@ -42,10 +44,14 @@ def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
 
     backend = config.backend
     if backend == "auto":
-        backend = "pallas_smem" if on_tpu() else "jnp"
+        backend = "pallas_stream" if on_tpu() else "jnp"
     if backend == "pallas_smem" and _smem_bytes(config) > 900_000:
         # v5e has ~1MB of SMEM; big bin capacities only fit in VMEM
         backend = "pallas"
+    if backend == "pallas_stream":
+        from xr.raster import pallas_stream
+
+        return pallas_stream.visibility_binned(tri, config, y_offset=y_offset)
     if backend == "pallas_smem":
         from xr.raster import pallas_smem
 

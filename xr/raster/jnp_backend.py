@@ -128,6 +128,13 @@ class BinResult(NamedTuple):
     large_ids: jnp.ndarray  # (lcap,) i32, LIST_EMPTY-padded
     large_count: jnp.ndarray  # () i32 (<= lcap)
     dropped: jnp.ndarray  # () i32 — entries lost to capacity overflow
+    # sorted-segment view (scatter-free streaming consumers): sid holds all
+    # (tile, id) pair ids sorted by (tile, id); tile t's segment is
+    # sid[starts[t] : starts[t] + raw_counts[t]]
+    sid: jnp.ndarray = None  # (4C,) i32
+    starts: jnp.ndarray = None  # (ntiles,) i32
+    raw_counts: jnp.ndarray = None  # (ntiles,) i32 (uncapped)
+    large_dropped: jnp.ndarray = None  # () i32
 
 
 def _tile_ranges(tri: TriBuf, config: RenderConfig, y_offset):
@@ -227,10 +234,13 @@ def bin_triangles(
     else:
         large_ids = lsorted[:lcap]
 
-    dropped = jnp.sum(jnp.maximum(raw_counts - cap, 0)) + jnp.maximum(
-        large_count_raw - lcap, 0
+    large_dropped = jnp.maximum(large_count_raw - lcap, 0)
+    dropped = jnp.sum(jnp.maximum(raw_counts - cap, 0)) + large_dropped
+    return BinResult(
+        lists, counts, large_ids, large_count, dropped.astype(jnp.int32),
+        sid=sid, starts=starts, raw_counts=raw_counts,
+        large_dropped=large_dropped.astype(jnp.int32),
     )
-    return BinResult(lists, counts, large_ids, large_count, dropped.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

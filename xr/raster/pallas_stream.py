@@ -1,0 +1,240 @@
+"""Streaming Pallas visibility kernel — block-aligned sorted segments.
+
+The windowed kernels (pallas_backend/pallas_smem) materialize per-tile
+record arrays of a fixed capacity, so their gather cost scales with
+ntiles * capacity even when bins are mostly empty — and worst-case tiles
+(1M-triangle horizons, SURVEY.md §5.7 "the long-context case") force huge
+capacities. This kernel instead walks the binning sort's output directly:
+
+  * bin_triangles' sorted (tile, id) pairs are compacted into BLOCK-aligned
+    per-tile segments (each tile padded to a multiple of BLK records, >= 1
+    block per tile), sized by the ACTUAL total entry count — memory and
+    gather cost scale with the scene, not with worst-case tiles.
+  * the grid is 1-D over record blocks. Scalar-prefetched block->tile and
+    block->offset tables drive DATA-DEPENDENT BlockSpec index maps
+    (pltpu.PrefetchScalarGridSpec): each step's records window DMAs the
+    next block, and the OUTPUT block index is the block's tile — Pallas
+    keeps the tile's framebuffer block in VMEM across consecutive blocks of
+    the same tile and flushes when the tile changes.
+  * the kernel initializes the tile (and rasters the global large-triangle
+    bucket) on the FIRST block of each tile, then folds the block's records
+    with the same exact int32 semantics as every other backend.
+
+Per-tile capacity ceases to exist; overflow is only the global streaming
+capacity (loud, like every other capacity in this framework).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xr.core.types import RenderConfig
+from xr.pipeline.geometry import TriBuf
+from xr.raster import common as rc
+from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
+from xr.raster.pallas_smem import _raster_scalar_records
+
+BG = rc.BG_TRI_ID
+BLK = 512  # records per block (per-block SMEM window: BLK*10*4 = 20KB)
+
+
+def stream_blocks(config: RenderConfig, num_tris: int) -> int:
+    """Static block capacity: config.stream_expand entries per post-clip
+    triangle (<= 4 by construction, ~1.2 typical), plus one pad block per
+    tile. Record-gather cost scales with this, so keep it honest — overflow
+    is counted loudly."""
+    nty, ntx = grid_dims(config)
+    est_entries = int(num_tris * config.stream_expand) + 64
+    return est_entries // BLK + nty * ntx + 1
+
+
+def _vis_kernel(
+    bt_ref,  # prefetch SMEM (NB,) block -> tile
+    bbase_ref,  # prefetch SMEM (NB,) block -> first record offset in its tile
+    counts_ref,  # prefetch SMEM (ntiles,)
+    lcount_ref,  # prefetch SMEM (1,)
+    reci_ref,  # SMEM (1, 1, BLK*7) — xs*3, ys*3, id (i32)
+    recf_ref,  # SMEM (1, 1, BLK*3) — z0..z2 (f32)
+    lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid,  # SMEM larges
+    tid_ref,  # out VMEM (TH, TW), block index = this block's tile
+    zb_ref,  # out VMEM (TH, TW)
+    *,
+    th: int,
+    tw: int,
+    sub: int,
+    ntx: int,
+):
+    b = pl.program_id(0)
+    t = bt_ref[b]
+    i = t // ntx
+    j = t % ntx
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+    prev_t = bt_ref[jnp.maximum(b - 1, 0)]
+    first = (b == 0) | (prev_t != t)
+
+    @pl.when(first)
+    def _():
+        tid_ref[:] = jnp.full((th, tw), BG, jnp.int32)
+        zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
+        larges = (lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid)
+        _raster_scalar_records(
+            lambda f, k: larges[f][k],
+            lcount_ref[0],
+            i, j, zb_ref, tid_ref, sub_iota,
+            th=th, tw=tw, sub=sub, bbox_reject=True,
+        )
+
+    n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, BLK)
+
+    def read(f, k):
+        # Mosaic has no scalar bitcast, so int and f32 fields arrive in
+        # separate SMEM windows (split from ONE HBM gather on the XLA side)
+        if f in (6, 7, 8):
+            return recf_ref[0, 0, k * 3 + (f - 6)]
+        if f == 9:
+            return reci_ref[0, 0, k * 7 + 6]
+        return reci_ref[0, 0, k * 7 + f]
+
+    _raster_scalar_records(
+        read, n_here, i, j, zb_ref, tid_ref, sub_iota,
+        th=th, tw=tw, sub=sub, bbox_reject=False,
+    )
+
+
+def visibility_binned(
+    tri: TriBuf,
+    config: RenderConfig,
+    y_offset=0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Same contract as the other visibility backends."""
+    H, W = config.height, config.width
+    TH, TW = config.tile_h, config.tile_w
+    nty, ntx = grid_dims(config)
+    ntiles = ntx * nty
+    sub = config.subpixel
+
+    b = bin_triangles(tri, config, y_offset=y_offset)
+    yo = jnp.asarray(y_offset, jnp.int32) * sub
+    C = tri.capacity
+    NB = stream_blocks(config, C)
+
+    # ---- block-aligned segment layout (all gathers/searchsorted) ---------
+    counts = b.raw_counts
+    nb_t = jnp.maximum(-(-counts // BLK), 1)  # blocks per tile, >= 1
+    bstart_t = jnp.cumsum(nb_t) - nb_t  # first block of tile t
+    nb_total = jnp.sum(nb_t)
+    dropped_blocks = jnp.maximum(nb_total - NB, 0)
+
+    bidx = jnp.arange(NB, dtype=jnp.int32)
+    # block -> tile: last t with bstart_t <= b
+    bt = (
+        jnp.searchsorted(bstart_t, bidx, side="right").astype(jnp.int32) - 1
+    )
+    bt = jnp.clip(bt, 0, ntiles - 1)
+    live_block = bidx < nb_total
+    # park dead trailing blocks on the last live tile (no re-init, 0 records)
+    last_tile = bt[jnp.maximum(nb_total - 1, 0)]
+    bt = jnp.where(live_block, bt, last_tile)
+    bbase = jnp.where(live_block, (bidx - bstart_t[bt]) * BLK, jnp.int32(2**30))
+
+    # ---- compacted records: (NB, BLK) global entries -> packed rows ------
+    zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
+    tri_ids = jnp.arange(C, dtype=jnp.int32).reshape(C, 1)
+    packed = jnp.concatenate([tri.xs, tri.ys - yo, zbits, tri_ids], axis=1)
+
+    slot = bbase[:, None] + jnp.arange(BLK, dtype=jnp.int32)[None, :]  # (NB,BLK)
+    seg_ok = slot < counts[bt][:, None]
+    gidx = jnp.clip(b.starts[bt][:, None] + slot, 0, b.sid.shape[0] - 1)
+    ids = jnp.where(seg_ok, b.sid[gidx], C)  # (NB, BLK)
+    rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, 10) — THE gather
+    rows = jnp.where(
+        (ids >= C)[..., None] & (jnp.arange(10) == 9), BG, rows
+    )
+    rec_i = jnp.concatenate(
+        [rows[..., 0:6], rows[..., 9:10]], axis=-1
+    ).reshape(NB, 1, BLK * 7)
+    rec_f = jax.lax.bitcast_convert_type(rows[..., 6:9], jnp.float32).reshape(
+        NB, 1, BLK * 3
+    )
+
+    # ---- large bucket (shared by all tiles), as in pallas_smem ----------
+    def large_records(lists):
+        n = lists.shape[-1]
+        npad = _pad_to(n, 128)
+        if npad != n:
+            lists = jnp.concatenate(
+                [lists, jnp.full((npad - n,), 2**30, jnp.int32)]
+            )
+        safe = jnp.minimum(lists, C - 1)
+        r = packed[safe]
+        empty = (lists >= C)[..., None]
+        r = jnp.where(empty & (jnp.arange(10) == 9), BG, r)
+        fields = [r[..., k] for k in range(10)]
+        for k in (6, 7, 8):
+            fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
+        return fields
+
+    large = large_records(b.large_ids)
+
+    kernel = functools.partial(_vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # bt, bbase, counts, large_count
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, BLK * 7),
+                lambda bi, bt_ref, bb, cn, lc: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BLK * 3),
+                lambda bi, bt_ref, bb, cn, lc: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(10)],
+        out_specs=[
+            pl.BlockSpec(
+                (TH, TW),
+                lambda bi, bt_ref, bb, cn, lc: (bt_ref[bi] // ntx, bt_ref[bi] % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TH, TW),
+                lambda bi, bt_ref, bb, cn, lc: (bt_ref[bi] // ntx, bt_ref[bi] % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+
+    tid, zb = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nty * TH, ntx * TW), jnp.int32),
+            jax.ShapeDtypeStruct((nty * TH, ntx * TW), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        bt,
+        bbase,
+        counts,
+        b.large_count.reshape(1),
+        rec_i,
+        rec_f,
+        *large,
+    )
+
+    # stream overflow = dropped whole blocks; the lists-path per-tile cap
+    # does not apply here, but the large-bucket cap still does
+    dropped = (dropped_blocks * BLK + b.large_dropped).astype(jnp.int32)
+    return tid[:H, :W], zb[:H, :W], dropped
