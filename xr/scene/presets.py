@@ -166,7 +166,7 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
 
     cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED,
                        tile_h=64, tile_w=128, bin_capacity=3072,
-                       clip_budget=1024)
+                       clip_budget=1024, stream_expand=1.0)
     return Preset("config3_terrain", scene, animate, cfg)
 
 
@@ -298,6 +298,7 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         bin_capacity=16384,
         large_capacity=4096,
         clip_budget=8192,
+        stream_expand=0.5,
     )
     return Preset("config5_flythrough", scene, animate, cfg)
 
