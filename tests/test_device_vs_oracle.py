@@ -82,3 +82,22 @@ def test_gouraud_preset_parity_small():
     r = Renderer(scene, p.config)
     df = r.readback(r.step(scene, cam))
     _compare(of, df)
+
+
+@pytest.mark.parametrize("path", ["brute", "binned"])
+def test_depth_test_off_painter_order(path):
+    """depth_test=False must follow painter's order (last triangle wins) on
+    the device paths exactly like the oracle."""
+    rng = np.random.default_rng(31)
+    scene = random_scene(rng, 10)
+    cam = fixed_camera()
+    cfg = RenderConfig(
+        width=64, height=48, mode=MODE_FLAT, depth_test=False,
+        raster_path=path, tile_h=16, tile_w=32, bin_capacity=2048,
+    )
+    of = render_frame(scene, cam, cfg)
+    r = Renderer(scene, cfg)
+    df = r.readback(r.step(scene, cam))
+    assert ((df.depth == 1.0) == (of.depth == 1.0)).all(), "coverage mismatch"
+    assert (df.color == of.color).all(), "painter order differs"
+    np.testing.assert_allclose(df.depth, of.depth, atol=1e-6)

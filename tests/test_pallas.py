@@ -111,3 +111,21 @@ def test_pallas_stream_tpu_matches_jnp():
     t_p, z_p, _ = pst.visibility_binned(tri, cfg)
     assert (np.asarray(t_j) == np.asarray(t_p)).all()
     assert (np.asarray(z_j) == np.asarray(z_p)).all()
+
+
+def test_pallas_stream_overflow_degrades_to_background():
+    """Stream-capacity overflow must drop triangles LOUDLY and leave
+    never-started tiles as clean background — never uninitialized memory."""
+    from xr.raster import pallas_stream as pst
+
+    tri, cfg = _tri_and_cfg(config2_icospheres())
+    tiny = dataclasses.replace(cfg, stream_expand=0.001)
+    t_p, z_p, dropped = pst.visibility_binned(tri, tiny, interpret=True)
+    assert int(dropped) > 0, "expected loud overflow"
+    t_np = np.asarray(t_p)
+    z_np = np.asarray(z_p)
+    valid = (t_np == np.int32(2**31 - 1)) | (
+        (t_np >= 0) & (t_np < tri.capacity)
+    )
+    assert valid.all(), "garbage triangle ids leaked from unstarted tiles"
+    assert (np.isinf(z_np) | ((z_np >= 0) & (z_np <= 1.0))).all()

@@ -257,19 +257,20 @@ def _vertex_stage(scene: Scene, view, proj, config: RenderConfig, xp=np):
 
 
 def _vert_mat(mesh, xp):
-    """Per-vertex material id: from the first triangle that uses the vertex.
-
-    Computed by scattering triangle material ids to their corner vertices
-    (last write wins — deterministic given triangle order)."""
+    """Per-vertex material id: the LOWEST material id among triangles using
+    the vertex. A min-reduction scatter is order-independent, so numpy and
+    XLA (whose duplicate-index scatter-set order is unspecified) agree
+    bit-for-bit (SURVEY.md §7.3.3)."""
     V = mesh.num_vertices
-    out = xp.zeros((V,), xp.int32)
     idx = mesh.indices.reshape(-1)
-    val = xp.repeat(mesh.material_id, 3)
+    val = xp.repeat(mesh.material_id, 3).astype(xp.int32)
+    big = xp.full((V,), 2**30, xp.int32)
     if _is_np(xp):
-        out = out.copy()
-        out[idx] = val
-        return out
-    return out.at[idx].set(val)
+        out = big.copy()
+        np.minimum.at(out, idx, val)
+    else:
+        out = big.at[idx].min(val)
+    return xp.where(out == 2**30, 0, out)
 
 
 

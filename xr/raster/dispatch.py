@@ -45,6 +45,9 @@ def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
     backend = config.backend
     if backend == "auto":
         backend = "pallas_stream" if on_tpu() else "jnp"
+    if not config.depth_test:
+        # painter's-order resolve is implemented in the jnp backends only
+        backend = "jnp"
     if backend == "pallas_smem" and _smem_bytes(config) > 900_000:
         # v5e has ~1MB of SMEM; big bin capacities only fit in VMEM
         backend = "pallas"

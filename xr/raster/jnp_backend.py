@@ -8,8 +8,10 @@ coverage is integer math and the resolve is a lexicographic (z, id) min
 
 Binning is SORT-based and scatter-free (XLA TPU scatters serialize; sorts
 and gathers vectorize): each triangle emits at most 4 (tile, id) pairs (its
-bbox spans <= 2x2 tiles, or it goes to a global "large" bucket that every
-tile scans with a cheap bbox reject). Pairs are sorted by a packed
+bbox spans <= 2x2 tiles, or it goes to a global "large" bucket; the Pallas
+kernels scan it behind a cheap scalar bbox reject, while this dense jnp
+fallback evaluates it fully and skips the pass only when the bucket is
+empty). Pairs are sorted by a packed
 (tile << idbits | id) key, per-tile segments fall out contiguous and
 id-ascending, and per-tile lists are pure gathers from the sorted array
 (SURVEY.md §7.3.1: fixed capacities + loud overflow counters).
@@ -64,6 +66,30 @@ def _chunk_best(zf, cids, xp=jnp):
     return z_min, jnp.where(jnp.isinf(z_min), BG, id_min)
 
 
+def _chunk_last(zf, cids):
+    """Painter's order (depth_test=False): the HIGHEST-id covered triangle
+    wins; returns its id (or -1 if none) and its depth."""
+    bshape = (cids.shape[0],) + (1,) * (zf.ndim - 1)
+    ids_b = jnp.broadcast_to(cids.reshape(bshape), zf.shape)
+    keyed = jnp.where(jnp.isinf(zf), -1, ids_b)
+    idx = jnp.argmax(keyed, axis=0)
+    id_new = jnp.take_along_axis(keyed, idx[None], axis=0)[0]
+    z_new = jnp.take_along_axis(zf, idx[None], axis=0)[0]
+    return jnp.where(id_new < 0, rc.BG_DEPTH, z_new), id_new
+
+
+def _fold(carry, z_new, id_new, depth_test: bool):
+    """Merge a chunk result into the (zb, tb) carry. With depth_test the
+    resolve is the lexicographic (z, id) min; without it, painter's order
+    (tb carries -1 for background; callers map -1 -> BG at the end)."""
+    zb, tb = carry
+    if depth_test:
+        upd = rc.resolve_better(z_new, id_new, zb, tb, jnp)
+    else:
+        upd = id_new > tb
+    return jnp.where(upd, z_new, zb), jnp.where(upd, id_new, tb)
+
+
 def visibility_brute(
     tri: TriBuf, config: RenderConfig, chunk: int = 32, y_offset=0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -91,7 +117,6 @@ def visibility_brute(
     ids = jnp.arange(Cp, dtype=jnp.int32).reshape(nk, chunk)
 
     def step(carry, inp):
-        zb, tb = carry
         cxs, cys, cz, cvalid, cids = inp
         mask, zf = rc.tri_fragment(
             cxs[:, None, None, :],
@@ -103,16 +128,17 @@ def visibility_brute(
         )  # (chunk, H, W)
         mask = mask & cvalid[:, None, None]
         zf = jnp.where(mask, zf, rc.BG_DEPTH)
-        z_new, id_new = _chunk_best(zf, cids)
-        upd = rc.resolve_better(z_new, id_new, zb, tb, jnp)
-        return (
-            jnp.where(upd, z_new, zb),
-            jnp.where(upd, id_new, tb),
-        ), None
+        if config.depth_test:
+            z_new, id_new = _chunk_best(zf, cids)
+        else:
+            z_new, id_new = _chunk_last(zf, cids)
+        return _fold(carry, z_new, id_new, config.depth_test), None
 
     zb0 = jnp.full((H, W), rc.BG_DEPTH, jnp.float32)
-    tb0 = jnp.full((H, W), BG, jnp.int32)
+    tb0 = jnp.full((H, W), BG if config.depth_test else -1, jnp.int32)
     (zb, tb), _ = jax.lax.scan(step, (zb0, tb0), (xs, ys, z, valid, ids))
+    if not config.depth_test:
+        tb = jnp.where(tb < 0, BG, tb)
     return tb, zb
 
 
@@ -289,7 +315,6 @@ def visibility_binned(
         seq = list_arr.reshape(ntiles, Lp // chunk, chunk).transpose(1, 0, 2)
 
         def step(cr, cids):
-            zb, tb = cr
             safe = jnp.minimum(cids, C - 1)
             ok = (cids < C)[:, :, None, None]
             cxs = tri.xs[safe][:, :, None, None, :]
@@ -300,13 +325,22 @@ def visibility_binned(
             )  # (ntiles, chunk, TH, TW)
             mask = mask & ok
             zf = jnp.where(mask, zf, rc.BG_DEPTH)
-            # lexicographic (z, id) min within the chunk (order-independent)
-            z_min = zf.min(axis=1)
-            idb = jnp.where(cids < C, cids, BG)[:, :, None, None]
-            id_min = jnp.where(zf == z_min[:, None], idb, BG).min(axis=1)
-            id_new = jnp.where(jnp.isinf(z_min), BG, id_min)
-            upd = rc.resolve_better(z_min, id_new, zb, tb, jnp)
-            return (jnp.where(upd, z_min, zb), jnp.where(upd, id_new, tb)), None
+            if config.depth_test:
+                # lexicographic (z, id) min within the chunk
+                z_new = zf.min(axis=1)
+                idb = jnp.where(cids < C, cids, BG)[:, :, None, None]
+                id_min = jnp.where(zf == z_new[:, None], idb, BG).min(axis=1)
+                id_new = jnp.where(jnp.isinf(z_new), BG, id_min)
+            else:
+                idb = jnp.broadcast_to(
+                    jnp.where(cids < C, cids, -1)[:, :, None, None], zf.shape
+                )
+                keyed = jnp.where(jnp.isinf(zf), -1, idb)
+                idx = jnp.argmax(keyed, axis=1)
+                id_new = jnp.take_along_axis(keyed, idx[:, None], axis=1)[:, 0]
+                z_new = jnp.take_along_axis(zf, idx[:, None], axis=1)[:, 0]
+                z_new = jnp.where(id_new < 0, rc.BG_DEPTH, z_new)
+            return _fold(cr, z_new, id_new, config.depth_test), None
 
         return jax.lax.scan(step, carry, seq)[0]
 
@@ -314,11 +348,21 @@ def visibility_binned(
     zb0 = jnp.full((ntiles, TH, TW), rc.BG_DEPTH, jnp.float32) + yvar.astype(
         jnp.float32
     )
-    tb0 = jnp.full((ntiles, TH, TW), BG, jnp.int32) + yvar
+    tb0 = jnp.full(
+        (ntiles, TH, TW), BG if config.depth_test else -1, jnp.int32
+    ) + yvar
 
     large_all = jnp.broadcast_to(b.large_ids[None, :], (ntiles, b.large_ids.shape[0]))
-    carry = scan_lists((zb0, tb0), large_all)
+    carry = jax.lax.cond(
+        b.large_count > 0,
+        lambda c: scan_lists(c, large_all),
+        lambda c: c,
+        (zb0, tb0),
+    )
     zb, tb = scan_lists(carry, b.lists)
+
+    if not config.depth_test:
+        tb = jnp.where(tb < 0, BG, tb)
 
     def untile(a):
         return (

@@ -27,14 +27,44 @@ from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
 BG = rc.BG_TRI_ID
 
 
+def pack_tri_records(tri: TriBuf, yo):
+    """(C, 10) i32 rows: xs*3, ys*3 (band-translated), z-bits*3, id."""
+    C = tri.capacity
+    zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
+    tri_ids = jnp.arange(C, dtype=jnp.int32).reshape(C, 1)
+    return jnp.concatenate([tri.xs, tri.ys - yo, zbits, tri_ids], axis=1)
+
+
+def gather_field_records(lists, packed, C: int):
+    """Gather per-entry record FIELD arrays for an id-list array (padded to
+    a 128 multiple): 10 arrays, z fields bitcast back to f32, id field set
+    to BG for empty slots. The masking/sentinel choices here are semantics-
+    bearing and shared by every kernel that consumes records."""
+    n = lists.shape[-1]
+    npad = _pad_to(n, 128)
+    if npad != n:
+        pad = jnp.full(lists.shape[:-1] + (npad - n,), 2**30, jnp.int32)
+        lists = jnp.concatenate([lists, pad], axis=-1)
+    safe = jnp.minimum(lists, C - 1)
+    rows = packed[safe]
+    empty = (lists >= C)[..., None]
+    rows = jnp.where(empty & (jnp.arange(10) == 9), BG, rows)
+    fields = [rows[..., k] for k in range(10)]
+    for k in (6, 7, 8):
+        fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
+    return fields
+
+
 def _raster_scalar_records(
     read, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota,
-    *, th: int, tw: int, sub: int, bbox_reject: bool,
+    *, th: int, tw: int, sub: int,
 ):
     """Triangle loop with scalar record reads. `read(field, k)` -> scalar.
 
     Fields 0..9 = x0,x1,x2,y0,y1,y2 (i32), z0,z1,z2 (f32), id (i32).
-    Row-band predication as in pallas_backend."""
+    Every triangle gets a scalar tile-x bbox test plus per-row-band bbox
+    predication, so off-tile triangles (e.g. global large-bucket entries)
+    cost only scalar work."""
     half = sub // 2
     nbands = th // 8
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -135,14 +165,14 @@ def _vis_kernel(
         lambda f, k: larges[f][k],
         lcount_ref[0],
         i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub, bbox_reject=True,
+        th=th, tw=tw, sub=sub,
     )
     smalls = (sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid)
     _raster_scalar_records(
         lambda f, k: smalls[f][0, 0, k],
         counts_ref[i * ntx + j],
         i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub, bbox_reject=False,
+        th=th, tw=tw, sub=sub,
     )
 
 
@@ -162,28 +192,10 @@ def visibility_binned(
     b = bin_triangles(tri, config, y_offset=y_offset)
     yo = jnp.asarray(y_offset, jnp.int32) * sub
     C = tri.capacity
+    packed = pack_tri_records(tri, yo)
 
-    zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
-    tri_ids = jnp.arange(C, dtype=jnp.int32).reshape(C, 1)
-    packed = jnp.concatenate([tri.xs, tri.ys - yo, zbits, tri_ids], axis=1)
-
-    def records(lists):
-        n = lists.shape[-1]
-        npad = _pad_to(n, 128)
-        if npad != n:
-            pad = jnp.full(lists.shape[:-1] + (npad - n,), 2**30, jnp.int32)
-            lists = jnp.concatenate([lists, pad], axis=-1)
-        safe = jnp.minimum(lists, C - 1)
-        rows = packed[safe]
-        empty = (lists >= C)[..., None]
-        rows = jnp.where(empty & (jnp.arange(10) == 9), BG, rows)
-        fields = [rows[..., k] for k in range(10)]
-        for k in (6, 7, 8):
-            fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
-        return fields
-
-    small = records(b.lists)  # (ntiles, capp) x10
-    large = records(b.large_ids)  # (lcapp,) x10
+    small = gather_field_records(b.lists, packed, C)  # (ntiles, capp) x10
+    large = gather_field_records(b.large_ids, packed, C)  # (lcapp,) x10
     capp = small[0].shape[1]
 
     kernel = functools.partial(_vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx)

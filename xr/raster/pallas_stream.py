@@ -38,7 +38,11 @@ from xr.core.types import RenderConfig
 from xr.pipeline.geometry import TriBuf
 from xr.raster import common as rc
 from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
-from xr.raster.pallas_smem import _raster_scalar_records
+from xr.raster.pallas_smem import (
+    _raster_scalar_records,
+    gather_field_records,
+    pack_tri_records,
+)
 
 BG = rc.BG_TRI_ID
 BLK = 512  # records per block (per-block SMEM window: BLK*10*4 = 20KB)
@@ -88,7 +92,7 @@ def _vis_kernel(
             lambda f, k: larges[f][k],
             lcount_ref[0],
             i, j, zb_ref, tid_ref, sub_iota,
-            th=th, tw=tw, sub=sub, bbox_reject=True,
+            th=th, tw=tw, sub=sub,
         )
 
     n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, BLK)
@@ -104,7 +108,7 @@ def _vis_kernel(
 
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub, bbox_reject=False,
+        th=th, tw=tw, sub=sub,
     )
 
 
@@ -146,9 +150,7 @@ def visibility_binned(
     bbase = jnp.where(live_block, (bidx - bstart_t[bt]) * BLK, jnp.int32(2**30))
 
     # ---- compacted records: (NB, BLK) global entries -> packed rows ------
-    zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
-    tri_ids = jnp.arange(C, dtype=jnp.int32).reshape(C, 1)
-    packed = jnp.concatenate([tri.xs, tri.ys - yo, zbits, tri_ids], axis=1)
+    packed = pack_tri_records(tri, yo)
 
     slot = bbase[:, None] + jnp.arange(BLK, dtype=jnp.int32)[None, :]  # (NB,BLK)
     seg_ok = slot < counts[bt][:, None]
@@ -165,24 +167,8 @@ def visibility_binned(
         NB, 1, BLK * 3
     )
 
-    # ---- large bucket (shared by all tiles), as in pallas_smem ----------
-    def large_records(lists):
-        n = lists.shape[-1]
-        npad = _pad_to(n, 128)
-        if npad != n:
-            lists = jnp.concatenate(
-                [lists, jnp.full((npad - n,), 2**30, jnp.int32)]
-            )
-        safe = jnp.minimum(lists, C - 1)
-        r = packed[safe]
-        empty = (lists >= C)[..., None]
-        r = jnp.where(empty & (jnp.arange(10) == 9), BG, r)
-        fields = [r[..., k] for k in range(10)]
-        for k in (6, 7, 8):
-            fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
-        return fields
-
-    large = large_records(b.large_ids)
+    # ---- large bucket (shared by all tiles) ------------------------------
+    large = gather_field_records(b.large_ids, packed, C)
 
     kernel = functools.partial(_vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx)
 
@@ -233,6 +219,16 @@ def visibility_binned(
         rec_f,
         *large,
     )
+
+    # On stream-capacity overflow, tiles whose FIRST block fell beyond NB
+    # never ran — their framebuffer blocks are uninitialized HBM. Mask them
+    # to background so overflow degrades like every other backend (the
+    # dropped counter still reports it loudly).
+    tile_ran = bstart_t < jnp.minimum(nb_total, NB)  # (ntiles,)
+    ran_rows = tile_ran.reshape(nty, ntx)
+    ran_px = jnp.repeat(jnp.repeat(ran_rows, TH, axis=0), TW, axis=1)
+    tid = jnp.where(ran_px, tid, BG)
+    zb = jnp.where(ran_px, zb, jnp.inf)
 
     # stream overflow = dropped whole blocks; the lists-path per-tile cap
     # does not apply here, but the large-bucket cap still does

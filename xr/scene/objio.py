@@ -115,7 +115,11 @@ def load_obj(path: str, native: bool = True) -> Tuple[Mesh, List[str]]:
     r = parse_obj(path, native=native)
     pos, nrm = r["positions"], r["normals"]
     idx = r["indices"]
-    if (np.abs(nrm).sum(axis=1) == 0).any() or nrm.shape[0] == 0:
+    # both parsers default absent vn references to (0,0,1); if the file has
+    # no real normals (all default or zero), compute smooth vertex normals
+    default_n = np.abs(nrm - np.array([0.0, 0.0, 1.0], np.float32)).sum(axis=1) == 0
+    zero_n = np.abs(nrm).sum(axis=1) == 0
+    if nrm.shape[0] == 0 or (default_n | zero_n).all() or zero_n.any():
         nrm = compute_vertex_normals(pos, idx)
     mesh = Mesh(
         positions=pos,
