@@ -25,17 +25,26 @@ def main(frames: int = 30):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from xr.app.renderer import Renderer
+    import functools
+
+    from xr.app.renderer import render_step
+    from xr.pipeline.geometry import clip_capacity
     from xr.scene.presets import config3_terrain
 
     p = config3_terrain()
     scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
+    cap = clip_capacity(scene.mesh.num_triangles, p.config)
 
-    r = Renderer(scene, p.config)
-
+    # the WHOLE frame — including camera/model animation — is one jitted
+    # program of a scalar t (SURVEY.md §3.2); per-frame host work is one
+    # dispatch (this box's tunneled device makes per-op dispatch ~1ms)
+    @functools.partial(jax.jit, static_argnames=())
     def frame_at(t):
         cam, mm = p.animate(t, jnp)
-        return r.step(scene.replace(model_matrices=mm), cam)
+        return render_step(
+            scene.replace(model_matrices=mm), cam, config=p.config,
+            capacity=cap,
+        )
 
     # compile + warmup (the PSO build; SURVEY.md §3.1)
     f = frame_at(0.0)

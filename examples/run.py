@@ -81,6 +81,9 @@ def main():
 
             r = Renderer(scene, cfg)
 
+        # animation traced INSIDE one jitted frame program: per-frame host
+        # work is a single dispatch of a scalar t (SURVEY.md §3.2)
+        @jax.jit
         def step(t):
             cam, mm = p.animate(t, jnp)
             return r.step(scene.replace(model_matrices=mm), cam)
