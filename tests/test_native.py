@@ -137,3 +137,16 @@ def test_load_obj_scene_with_mtl(tmp_path):
         scene, cam, RenderConfig(width=48, height=48, mode=MODE_PHONG)
     )
     assert (frame.depth < 1.0).any()
+
+
+def test_native_obj_malformed_face_terminates(tmp_path):
+    """A non-numeric face token must not hang the native parser (strtol does
+    not advance on no-conversion); the bad token is skipped."""
+    p = tmp_path / "bad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 x 3\n")
+    if not NATIVE:
+        pytest.skip("native library unavailable")
+    r = api.parse_obj(str(p))
+    assert r is not None
+    # the bad token is dropped; the remaining 3 corners form one triangle
+    assert r["indices"].shape == (1, 3)

@@ -85,12 +85,20 @@ def render_step(
 
     tri, tid, depth, bin_of = _depth_pass(scene, view, proj, config, cap)
 
+    # Honest shaded-work accounting (BASELINE.json:2 "Mpixels shaded/sec"):
+    # the deferred pass shades exactly H*W fragments, PLUS the shadow
+    # pre-pass resolves shadow_map_size^2 depth texels when it runs.
+    shaded = config.width * config.height
+    if shadow_depth is not None:
+        shaded += config.shadow_map_size * config.shadow_map_size
     stats = {
         "tris_in": jnp.int32(scene.mesh.num_triangles),
         "tris_setup": tri.count,
         "clip_overflow": tri.overflow,
         "bin_overflow": bin_of + s_bin_of,
-        "fragments_shaded": jnp.int32(config.width * config.height),
+        "fragments_shaded": jnp.int32(shaded),
+        # device-measured: pixels actually covered by geometry this frame
+        "covered_pixels": jnp.sum(depth < 1.0).astype(jnp.int32),
     }
 
     if config.mode == MODE_DEPTH_ONLY:

@@ -10,9 +10,13 @@ pixel (SURVEY.md §7.3.3 names exactly this mitigation).
 
 Overflow analysis (why RenderConfig asserts a coordinate budget):
   with |fixed coord| <= C, edge terms are A*(px-X0) + B*(py-Y0) where
-  |A|,|B| <= 2C span and |px-X0| <= 2C, so |E| <= 2 * (2C)^2; int32 requires
-  2*(2C)^2 < 2^31, i.e. C <~ 11585. At subpixel=4 and guard_band=3 this
-  admits ~2900-pixel-wide framebuffers — covers the 1920x1080 target.
+  |A|,|B| <= 2C span and |px-X0| <= 2C, so |E| <= 2*(2C)*(2C) = 8C^2; int32
+  requires 8C^2 < 2^31, i.e. C < 2^14 = 16384. The BINDING runtime check is
+  in RenderConfig.__post_init__ (xr/core/types.py:123-127): it bounds the
+  actual coordinate SPAN — max(W,H)*subpixel*(1+guard_band) — and asserts
+  2*span^2 < 2^31, which is the same |E| <= 2*span^2 bound expressed in
+  span (= 2C) units. At subpixel=4, guard_band=3, 1920px: span = 30720,
+  2*span^2 = 1.89e9 < 2^31 — safe, with no slack for subpixel_bits=3+.
 
 All functions take ``xp`` (numpy or jax.numpy) and use identical formulas.
 """

@@ -112,11 +112,15 @@ def render_frame(
     tid, zbuf = visibility_bbox(tri, config)
     depth = np.where(np.isinf(zbuf), 1.0, zbuf).astype(np.float32)
 
+    shaded = config.width * config.height
+    if shadow_depth is not None:  # shadow pre-pass texels count as shaded work
+        shaded += config.shadow_map_size * config.shadow_map_size
     stats = {
         "tris_in": np.int32(scene.mesh.num_triangles),
         "tris_setup": tri.count,
         "clip_overflow": tri.overflow,
-        "fragments_shaded": np.int32(config.width * config.height),
+        "fragments_shaded": np.int32(shaded),
+        "covered_pixels": np.sum(depth < 1.0).astype(np.int32),
     }
 
     if config.mode == MODE_DEPTH_ONLY:

@@ -90,6 +90,7 @@ def render_step_sharded(
 
         shadow_depth = None
         light_viewproj = None
+        s_bin_of = jnp.int32(0)
         if shadow_cfg is not None:
             # shadow map is small and needed everywhere: computed replicated
             light_viewproj = (
@@ -99,7 +100,7 @@ def render_step_sharded(
                 scene, jnp.asarray(light_view), jnp.asarray(light_proj),
                 shadow_cfg, xp=jnp, capacity=cap,
             )
-            _, s_zbuf, _ = dispatch.visibility(s_tri, shadow_cfg, cap)
+            _, s_zbuf, s_bin_of = dispatch.visibility(s_tri, shadow_cfg, cap)
             shadow_depth = jnp.where(jnp.isinf(s_zbuf), 1.0, s_zbuf).astype(
                 jnp.float32
             )
@@ -135,8 +136,18 @@ def render_step_sharded(
             "tris_in": jnp.int32(scene.mesh.num_triangles),
             "tris_setup": tri.count,  # same on every band (replicated geom)
             "clip_overflow": tri.overflow,
-            "bin_overflow": jax.lax.psum(bin_of, "bands"),
-            "fragments_shaded": jnp.int32(Hp * W),
+            "bin_overflow": jax.lax.psum(bin_of, "bands") + s_bin_of,
+            "fragments_shaded": jnp.int32(
+                Hp * W
+                + (
+                    config.shadow_map_size * config.shadow_map_size
+                    if shadow_cfg is not None
+                    else 0
+                )
+            ),
+            "covered_pixels": jax.lax.psum(
+                jnp.sum(depth < 1.0).astype(jnp.int32), "bands"
+            ),
         }
         return color_full, depth_full, stats
 

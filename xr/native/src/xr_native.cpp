@@ -136,7 +136,13 @@ XrObjMesh* xr_obj_parse_file(const char* path) {
       while (*p) {
         while (*p == ' ' || *p == '\t') p++;
         if (*p == '\0' || *p == '\n' || *p == '\r' || *p == '#') break;
+        char* tok = p;
         long vi = strtol(p, &p, 10);
+        if (p == tok) {  // non-numeric token: skip it (strtol won't advance)
+          while (*p && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r')
+            p++;
+          continue;
+        }
         long ti = 0, ni = 0;
         bool has_t = false, has_n = false;
         if (*p == '/') {

@@ -115,12 +115,17 @@ def load_obj(path: str, native: bool = True) -> Tuple[Mesh, List[str]]:
     r = parse_obj(path, native=native)
     pos, nrm = r["positions"], r["normals"]
     idx = r["indices"]
-    # both parsers default absent vn references to (0,0,1); if the file has
-    # no real normals (all default or zero), compute smooth vertex normals
+    # both parsers default absent vn references to (0,0,1); a vertex with a
+    # zero or default normal gets a computed area-weighted smooth normal,
+    # but AUTHORED normals are preserved (only the missing ones are filled)
     default_n = np.abs(nrm - np.array([0.0, 0.0, 1.0], np.float32)).sum(axis=1) == 0
     zero_n = np.abs(nrm).sum(axis=1) == 0
-    if nrm.shape[0] == 0 or (default_n | zero_n).all() or zero_n.any():
+    if nrm.shape[0] == 0 or (default_n | zero_n).all():
         nrm = compute_vertex_normals(pos, idx)
+    elif zero_n.any() or default_n.any():
+        computed = compute_vertex_normals(pos, idx)
+        missing = zero_n | default_n
+        nrm = np.where(missing[:, None], computed, nrm)
     mesh = Mesh(
         positions=pos,
         normals=nrm,
