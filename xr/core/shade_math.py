@@ -172,9 +172,18 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
         return top + (bot - top) * fv[..., None]
 
     i0, j0, fu0, fv0, s0 = fractions(l0)
-    row = pyramid.quads[
-        tex_id, offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
-    ]  # (..., 13): the ONLY texture gather — own quad + parent 3x3
+    # the ONLY texture gather — own quad + parent 3x3. Indexed through a
+    # FLAT 2-D view: gathering from the 3-D (Ntex, P, 13) table made XLA
+    # assign the operand a {2,0,1:T(2,128)} layout (13-axis across lanes,
+    # ~90% waste) that ran 7 ns/row; the 2-D view gets the natural
+    # {1,0:T(8,128)} VMEM layout like every other record table (~2 ns/row).
+    # (A transposed (13, Ntex*P) column gather was also tried: XLA lowers it
+    # to per-field slice-reduce ops, 10x slower — see PERF.md round 2.)
+    P = pyramid.quads.shape[1]
+    flat_q = pyramid.quads.reshape(-1, pyramid.quads.shape[-1])
+    row = flat_q[
+        tex_id * P + offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
+    ]  # (..., 13)
 
     c0 = bilerp(
         unpack(row[..., 0]), unpack(row[..., 1]),

@@ -75,15 +75,21 @@ def shade_deferred(
         color = tri.face_rgb[t]
         return out(_with_bg(color, bg, config, xp))
 
-    # ONE wide-row gather for all per-pixel triangle data: XLA vectorizes a
-    # (H,W)-indexed gather of contiguous (C, R) rows far better than many
-    # narrow gathers (ints ride along bitcast to f32).
+    # TWO wide-row gathers for all per-pixel triangle data: XLA vectorizes
+    # (H,W)-indexed gathers of contiguous (C, R) rows far better than many
+    # narrow gathers (ints ride along bitcast to f32). attr_w is gathered
+    # separately because its consumer wants a different layout — a single
+    # fused record forced a full-width slice + two whole-array relayout
+    # copies (~6 ms/frame at 1080p in the round-1 trace). Gather COST is
+    # per-row on TPU (~1.8 ns/row regardless of width), so two gathers cost
+    # 2x one — but the slice+copies they remove cost more.
     A = config.attr_width
-    rec = _pack_records(tri, A, xp)[t]  # (H, W, R)
+    geo_rec, attr_rec = _pack_records(tri, A, xp)
+    rec = geo_rec[t]  # (H*W, 10)
     xs = _bits_to_i32(rec[..., 0:3], xp)
     ys = _bits_to_i32(rec[..., 3:6], xp)
     inv_w = rec[..., 6:9]
-    attr_w = rec[..., 9 : 9 + 3 * A].reshape(rec.shape[:-1] + (3, A))
+    attr_w = attr_rec[t].reshape(rec.shape[:-1] + (3, A))
 
     _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
     l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
@@ -96,7 +102,7 @@ def shade_deferred(
     if config.mode == MODE_GOURAUD:
         return out(_with_bg(attrs[..., 0:3], bg, config, xp))
 
-    mat_id = _bits_to_i32(rec[..., 9 + 3 * A], xp)
+    mat_id = _bits_to_i32(rec[..., 9], xp)
     mats = scene.materials
 
     if config.mode == MODE_TEXTURED:
@@ -166,17 +172,20 @@ def _bits_to_i32(a, xp):
 
 
 def _pack_records(tri: TriBuf, A: int, xp):
-    """(C, R) f32 shade-record rows: xs(3) ys(3) inv_w(3) attr_w(3A)
-    mat_id(1), all f32 (ints bitcast)."""
+    """Two record tables, gathered per pixel by triangle id:
+    geo (C, 10) f32: xs(3) ys(3) inv_w(3) mat_id(1) (ints bitcast);
+    attr (C, 3A) f32: attr_w flattened."""
     C = tri.capacity
-    cols = [
-        _i32_to_bits(tri.xs, xp),
-        _i32_to_bits(tri.ys, xp),
-        tri.inv_w,
-        tri.attr_w.reshape(C, 3 * A),
-        _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
-    ]
-    return xp.concatenate(cols, axis=1)
+    geo = xp.concatenate(
+        [
+            _i32_to_bits(tri.xs, xp),
+            _i32_to_bits(tri.ys, xp),
+            tri.inv_w,
+            _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
+        ],
+        axis=1,
+    )
+    return geo, tri.attr_w.reshape(C, 3 * A)
 
 
 def _sample_texture(
