@@ -98,6 +98,11 @@ class RenderConfig:
     # construction, ~1.2x typical). Overflow is counted loudly.
     stream_expand: float = 2.0
 
+    # Streaming-kernel records per block. Smaller blocks waste less record-
+    # gather padding (every tile pads to >= 1 block) but add grid steps;
+    # per-block SMEM window = 40 bytes * stream_block (x2 double-buffered).
+    stream_block: int = 512
+
     # Raster backend: "jnp" (portable, runs on CPU mesh tests) or "pallas"
     # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
     backend: str = "auto"

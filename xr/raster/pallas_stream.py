@@ -45,7 +45,7 @@ from xr.raster.pallas_smem import (
 )
 
 BG = rc.BG_TRI_ID
-BLK = 512  # records per block (per-block SMEM window: BLK*10*4 = 20KB)
+BLK_DEFAULT = 512  # see RenderConfig.stream_block
 
 
 def stream_blocks(config: RenderConfig, num_tris: int) -> int:
@@ -54,6 +54,7 @@ def stream_blocks(config: RenderConfig, num_tris: int) -> int:
     tile. Record-gather cost scales with this, so keep it honest — overflow
     is counted loudly."""
     nty, ntx = grid_dims(config)
+    BLK = getattr(config, "stream_block", BLK_DEFAULT)
     est_entries = int(num_tris * config.stream_expand) + 64
     return est_entries // BLK + nty * ntx + 1
 
@@ -73,6 +74,7 @@ def _vis_kernel(
     tw: int,
     sub: int,
     ntx: int,
+    blk: int,
 ):
     b = pl.program_id(0)
     t = bt_ref[b]
@@ -95,7 +97,7 @@ def _vis_kernel(
             th=th, tw=tw, sub=sub,
         )
 
-    n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, BLK)
+    n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, blk)
 
     def read(f, k):
         # Mosaic has no scalar bitcast, so int and f32 fields arrive in
@@ -128,6 +130,7 @@ def visibility_binned(
     b = bin_triangles(tri, config, y_offset=y_offset)
     yo = jnp.asarray(y_offset, jnp.int32) * sub
     C = tri.capacity
+    BLK = getattr(config, "stream_block", BLK_DEFAULT)
     NB = stream_blocks(config, C)
 
     # ---- block-aligned segment layout (all gathers/searchsorted) ---------
@@ -170,7 +173,9 @@ def visibility_binned(
     # ---- large bucket (shared by all tiles) ------------------------------
     large = gather_field_records(b.large_ids, packed, C)
 
-    kernel = functools.partial(_vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx)
+    kernel = functools.partial(
+        _vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx, blk=BLK
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # bt, bbase, counts, large_count

@@ -165,8 +165,9 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
         return cam, xp.asarray(_identity_mats(), xp.float32)
 
     cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED,
-                       tile_h=64, tile_w=128, bin_capacity=3072,
-                       clip_budget=1024, stream_expand=1.0)
+                       tile_h=32, tile_w=128, bin_capacity=3072,
+                       clip_budget=1024, clip_expand=0.75,
+                       stream_expand=1.3, stream_block=256)
     return Preset("config3_terrain", scene, animate, cfg)
 
 
