@@ -113,8 +113,17 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size: int, xp=np):
     GPU footprint rule with the max-axis metric.
     """
     s = float(base_size)
-    rx = (dudx * s) ** 2 + (dvdx * s) ** 2
-    ry = (dudy * s) ** 2 + (dvdy * s) ** 2
+    # clamp before squaring: degenerate/background pixels can carry huge
+    # derivatives (1/D blowup) that overflow f32 in the square; the lod is
+    # clamped to the last mip level either way
+    lim = xp.float32(1e18)
+
+    def _sq(d):
+        c = xp.clip(d * s, -lim, lim)
+        return c * c
+
+    rx = _sq(dudx) + _sq(dvdx)
+    ry = _sq(dudy) + _sq(dvdy)
     rho2 = xp.maximum(xp.maximum(rx, ry), 1e-12)
     return (0.5 * (xp.log(rho2) * (1.0 / np.log(2.0)))).astype(xp.float32)
 
@@ -147,12 +156,13 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     offsets = xp.asarray([pyramid.level_offset(k) for k in range(L)], xp.int32)
     inv255 = xp.float32(1.0 / 255.0)
 
-    def unpack(q):
-        # u32 RGB8 -> (..., 3) f32 in [0, 1]
-        r = (q & 0xFF).astype(xp.float32)
-        g = ((q >> 8) & 0xFF).astype(xp.float32)
-        b = ((q >> 16) & 0xFF).astype(xp.float32)
-        return xp.stack([r, g, b], axis=-1) * inv255
+    def unpack_ch(q, shift):
+        # one RGB8 channel of a packed u32 -> (...,) f32 in [0, 1].
+        # Channel-at-a-time keeps every intermediate a single framebuffer-
+        # sized array (the (..., 3) stacked variant materialized 8 stacks
+        # per sample = ~200 MB/frame of extra HBM traffic at 1080p).
+        c = (q >> shift) & 0xFF if shift else q & 0xFF
+        return c.astype(xp.float32) * inv255
 
     def fractions(lk):
         """Bilinear anchor + fractions at per-pixel level lk."""
@@ -166,10 +176,11 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
         fv = (tv - j0).astype(xp.float32)
         return i0.astype(xp.int32), j0.astype(xp.int32), fu, fv, s
 
-    def bilerp(t00, t01, t10, t11, fu, fv):
-        top = t00 + (t01 - t00) * fu[..., None]
-        bot = t10 + (t11 - t10) * fu[..., None]
-        return top + (bot - top) * fv[..., None]
+    def bilerp_ch(t00, t01, t10, t11, fu, fv):
+        # scalar-channel bilerp: same op order as the stacked version
+        top = t00 + (t01 - t00) * fu
+        bot = t10 + (t11 - t10) * fu
+        return top + (bot - top) * fv
 
     i0, j0, fu0, fv0, s0 = fractions(l0)
     # the ONLY texture gather — own quad + parent 3x3. Indexed through a
@@ -185,12 +196,6 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
         tex_id * P + offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
     ]  # (..., 13)
 
-    c0 = bilerp(
-        unpack(row[..., 0]), unpack(row[..., 1]),
-        unpack(row[..., 2]), unpack(row[..., 3]),
-        fu0, fv0,
-    )
-
     # parent level: 3x3 block anchored at (j0//2 - 1, i0//2 - 1); the true
     # bilinear anchor (i1, j1) is inside it with relative offset in {0, 1}
     i1, j1, fu1, fv1, _ = fractions(l1)
@@ -198,20 +203,37 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     # packer's (i//2 - 1) on wrapped coords because both are mod size/2
     di = i1 - (_floor_div2(i0, xp) - 1)  # in {0, 1}
     dj = j1 - (_floor_div2(j0, xp) - 1)
+    di1 = di == 1
+    dj1 = dj == 1
 
-    def parent(r, c):
+    # select the parent 2x2 quad in PACKED u32 space (4 selects on u32
+    # instead of 12 on unpacked f32 triples)
+    def parent_q(r, c):
         # texel (dj+r, di+c) of the 3x3 block: channels 4 + 3*(dj+r)+(di+c)
         base_idx = 4 + 3 * r + c
-        lo = unpack(row[..., base_idx])          # dj==0, di==0
-        l1v = unpack(row[..., base_idx + 1])     # dj==0, di==1
-        hi = unpack(row[..., base_idx + 3])      # dj==1, di==0
-        h1 = unpack(row[..., base_idx + 4])      # dj==1, di==1
-        a = xp.where((di == 1)[..., None], l1v, lo)
-        b = xp.where((di == 1)[..., None], h1, hi)
-        return xp.where((dj == 1)[..., None], b, a)
+        a = xp.where(di1, row[..., base_idx + 1], row[..., base_idx])
+        b = xp.where(di1, row[..., base_idx + 4], row[..., base_idx + 3])
+        return xp.where(dj1, b, a)
 
-    c1 = bilerp(parent(0, 0), parent(0, 1), parent(1, 0), parent(1, 1), fu1, fv1)
-    return (c0 + (c1 - c0) * frac[..., None]).astype(xp.float32)
+    p00 = parent_q(0, 0)
+    p01 = parent_q(0, 1)
+    p10 = parent_q(1, 0)
+    p11 = parent_q(1, 1)
+
+    chans = []
+    for shift in (0, 8, 16):
+        c0 = bilerp_ch(
+            unpack_ch(row[..., 0], shift), unpack_ch(row[..., 1], shift),
+            unpack_ch(row[..., 2], shift), unpack_ch(row[..., 3], shift),
+            fu0, fv0,
+        )
+        c1 = bilerp_ch(
+            unpack_ch(p00, shift), unpack_ch(p01, shift),
+            unpack_ch(p10, shift), unpack_ch(p11, shift),
+            fu1, fv1,
+        )
+        chans.append(c0 + (c1 - c0) * frac)
+    return xp.stack(chans, axis=-1).astype(xp.float32)
 
 
 def _floor_div2(a, xp):

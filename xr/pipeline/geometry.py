@@ -453,12 +453,40 @@ def geometry(
     jb = xp.minimum(xp.maximum(slot - countA, 0), C - 1)
     srcB = idxB[jb]
 
-    def merge(a_arr, b_arr):
-        b_flat = b_arr.reshape((BF,) + b_arr.shape[2:])
-        ga = a_arr[idxA]
-        gb = b_flat[srcB]
-        fm = from_a.reshape((C,) + (1,) * (ga.ndim - 1))
-        return xp.where(fm, ga, gb)
+    # Merge ALL fields through ONE packed (rows, K) table per path: 2 wide
+    # gathers + select instead of 14 narrow gathers (gather cost on TPU is
+    # per ROW regardless of width; 14 separate ops cost ~3.7 ms/frame at
+    # 100k tris, the packed pair ~0.6 ms — PERF.md round 2).
+    def bits(x):
+        if _is_np(xp):
+            return np.ascontiguousarray(x).view(np.float32)
+        import jax
+
+        return jax.lax.bitcast_convert_type(x, xp.float32)
+
+    def pack(xs_, ys_, z_, iw_, aw_, rgb_, mat_, rows):
+        cols = [
+            bits(xs_.reshape(rows, 3)),
+            bits(ys_.reshape(rows, 3)),
+            z_.reshape(rows, 3),
+            iw_.reshape(rows, 3),
+            aw_.reshape(rows, 3 * A) if A else aw_.reshape(rows, 0),
+            rgb_.reshape(rows, 3),
+            bits(mat_.reshape(rows, 1).astype(xp.int32)),
+        ]
+        return xp.concatenate(cols, axis=1)
+
+    packA = pack(xsA, ysA, zA, iwA, awA, rgbA, matA, T)
+    packB = pack(xsB, ysB, zB, iwB, awB, rgbB, matB, BF)
+    fm = from_a[:, None]
+    merged = xp.where(fm, packA[idxA], packB[srcB])  # (C, K)
+
+    def ubits(x):
+        if _is_np(xp):
+            return np.ascontiguousarray(x).view(np.int32)
+        import jax
+
+        return jax.lax.bitcast_convert_type(x, xp.int32)
 
     out_count = xp.minimum(countA + countB, C).astype(xp.int32)
     valid = slot < out_count
@@ -468,13 +496,13 @@ def geometry(
     ).astype(xp.int32)
 
     return TriBuf(
-        xs=merge(xsA, xsB),
-        ys=merge(ysA, ysB),
-        z=merge(zA, zB),
-        inv_w=merge(iwA, iwB),
-        attr_w=merge(awA, awB),
-        face_rgb=merge(rgbA, rgbB),
-        mat_id=merge(matA, matB),
+        xs=ubits(merged[:, 0:3]),
+        ys=ubits(merged[:, 3:6]),
+        z=merged[:, 6:9],
+        inv_w=merged[:, 9:12],
+        attr_w=merged[:, 12 : 12 + 3 * A].reshape(C, 3, A),
+        face_rgb=merged[:, 12 + 3 * A : 15 + 3 * A],
+        mat_id=ubits(merged[:, 15 + 3 * A]),
         valid=valid,
         count=out_count,
         overflow=overflow,

@@ -84,33 +84,44 @@ def shade_deferred(
     # per-row on TPU (~1.8 ns/row regardless of width), so two gathers cost
     # 2x one — but the slice+copies they remove cost more.
     A = config.attr_width
-    geo_rec, attr_rec = _pack_records(tri, A, xp)
-    rec = geo_rec[t]  # (H*W, 10)
+    uv_slot = None
+    if scene.textures is not None and scene.textures.num_levels > 0:
+        if config.mode == MODE_TEXTURED:
+            uv_slot = 0
+        elif config.mode == MODE_PHONG:
+            uv_slot = 6
+    geo_rec, attr_rec = _pack_records(tri, A, xp, config, uv_slot)
+    rec = geo_rec[t]  # (H*W, 7 or 13)
     xs = _bits_to_i32(rec[..., 0:3], xp)
     ys = _bits_to_i32(rec[..., 3:6], xp)
-    inv_w = rec[..., 6:9]
-    attr_w = attr_rec[t].reshape(rec.shape[:-1] + (3, A))
+    # inv_w rides in the ATTR table as a 4th..6th "attribute" column: its
+    # lam-interpolation IS the perspective denominator, so the geo table
+    # keeps only slice-consumers (a (·,3)-sum consumer of the geo gather
+    # made XLA fork a second whole-table slice+relayout, ~4.6 ms/frame).
+    attr_w = attr_rec[t].reshape(rec.shape[:-1] + (3, A + 1))
 
     _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
     l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
-    lam = xp.stack([l0, l1, l2], axis=-1)  # (H,W,3)
+    lam = xp.stack([l0, l1, l2], axis=-1)
 
-    denom = xp.sum(lam * inv_w, axis=-1)  # interpolated 1/w
+    raw = xp.sum(lam[..., None] * attr_w, axis=-2)  # (H*W, A+1)
+    denom = raw[..., A]  # interpolated 1/w
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
-    attrs = xp.sum(lam[..., None] * attr_w, axis=-2) * inv_denom[..., None]
+    attrs = raw[..., :A] * inv_denom[..., None]
 
     if config.mode == MODE_GOURAUD:
         return out(_with_bg(attrs[..., 0:3], bg, config, xp))
 
-    mat_id = _bits_to_i32(rec[..., 9], xp)
+    mat_id = _bits_to_i32(rec[..., 6], xp)
     mats = scene.materials
+
+    lod6 = rec[..., 7:13] if uv_slot is not None else None
 
     if config.mode == MODE_TEXTURED:
         uv = attrs[..., 0:2]
         lit = attrs[..., 2:5]
         texc = _sample_texture(
-            tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
-            mat_id, xs, ys, uv_slot=0, xp=xp,
+            scene, config, uv, lod6, e0, e1, e2, denom, mat_id, xp,
         )
         return out(_with_bg(texc * lit, bg, config, xp))
 
@@ -123,8 +134,7 @@ def shade_deferred(
 
     base = mats.base_color[mat_id]
     texc = _sample_texture(
-        tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
-        mat_id, xs, ys, uv_slot=6, xp=xp,
+        scene, config, uv, lod6, e0, e1, e2, denom, mat_id, xp,
     )
     base = base * texc
 
@@ -171,71 +181,85 @@ def _bits_to_i32(a, xp):
     return jax.lax.bitcast_convert_type(a, xp.int32)
 
 
-def _pack_records(tri: TriBuf, A: int, xp):
+def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     """Two record tables, gathered per pixel by triangle id:
-    geo (C, 10) f32: xs(3) ys(3) inv_w(3) mat_id(1) (ints bitcast);
+    geo (C, 7|13) f32: xs(3) ys(3) mat_id(1) (ints bitcast), plus
+    — when uv_slot is given — 6 per-RECORD texture-LOD derivative terms
+    (dDdx dDdy dNudx dNudy dNvdx dNvdy). The screen-space uv-derivative
+    numerator/denominator derivatives depend only on edge coefficients and
+    per-vertex uw/vw/1w, i.e. they are constant per triangle — computing
+    them per record instead of per pixel removes ~10 framebuffer-sized
+    intermediates from the shading pass (PERF.md round 2);
     attr (C, 3A) f32: attr_w flattened."""
     C = tri.capacity
-    geo = xp.concatenate(
-        [
-            _i32_to_bits(tri.xs, xp),
-            _i32_to_bits(tri.ys, xp),
-            tri.inv_w,
-            _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
-        ],
-        axis=1,
-    )
-    return geo, tri.attr_w.reshape(C, 3 * A)
+    cols = [
+        _i32_to_bits(tri.xs, xp),
+        _i32_to_bits(tri.ys, xp),
+        _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
+    ]
+    if uv_slot is not None:
+        sub = float(config.subpixel)
+        a, b = fp.edge_coeffs(tri.xs, tri.ys, xp)  # (C, 3) exact ints
+        # edge OPPOSITE vertex k is edge index (k+1) % 3 (fixedpoint.coverage)
+        a_opp = xp.stack([a[:, 1], a[:, 2], a[:, 0]], axis=-1).astype(xp.float32)
+        b_opp = xp.stack([b[:, 1], b[:, 2], b[:, 0]], axis=-1).astype(xp.float32)
+        uw = tri.attr_w[:, :, uv_slot]
+        vw = tri.attr_w[:, :, uv_slot + 1]
+        iw = tri.inv_w
+        terms = [
+            (a_opp * iw).sum(-1) * sub,  # dD/dx
+            (b_opp * iw).sum(-1) * sub,  # dD/dy
+            (a_opp * uw).sum(-1) * sub,  # dNu/dx
+            (b_opp * uw).sum(-1) * sub,  # dNu/dy
+            (a_opp * vw).sum(-1) * sub,  # dNv/dx
+            (b_opp * vw).sum(-1) * sub,  # dNv/dy
+        ]
+        cols.append(xp.stack(terms, axis=-1).astype(xp.float32))
+    geo = xp.concatenate(cols, axis=1)
+    # attr table: per vertex k the A attributes then 1/w_k — the lam-
+    # interpolation of that last column is the perspective denominator
+    attr = xp.concatenate(
+        [tri.attr_w, tri.inv_w[:, :, None]], axis=2
+    ).reshape(C, 3 * (A + 1))
+    return geo, attr
 
 
 def _sample_texture(
-    tri, t, scene, config, uv, attr_w, inv_w, e0, e1, e2, denom,
-    mat_id, xs, ys, uv_slot: int, xp,
+    scene, config, uv, lod6, e0, e1, e2, denom, mat_id, xp,
 ):
     """Trilinear texture fetch with analytic per-pixel LOD.
 
-    LOD comes from analytic screen-space uv derivatives via the quotient rule
-    on the perspective-correct interpolation u = N(p)/D(p) (SURVEY.md §7.2.6:
-    no quad-derivative trick needed):
-      N(p) = sum_k E_k(p) * (u_k / w_k),  D(p) = sum_k E_k(p) * (1 / w_k)
-      dE_k/dpixel = A/B coefficient of the opposite edge * subpixel.
-    Returns (H, W, 3); white where the material has no texture.
+    LOD comes from analytic screen-space uv derivatives via the quotient
+    rule on the perspective-correct interpolation u = N(p)/D(p)
+    (SURVEY.md §7.2.6: no quad-derivative trick needed):
+      N(p) = sum_k E_k(p) * (u_k/w_k),  D(p) = sum_k E_k(p) * (1/w_k)
+      du/dx = (dNu/dx - u * dD/dx) / D   (u = Nu/D already interpolated)
+    The six derivative terms dNu/d{x,y}, dNv/d{x,y}, dD/d{x,y} are constant
+    per TRIANGLE and arrive pre-computed in the record row (lod6); only the
+    quotient is per-pixel. D is reconstructed as denom * area2 (denom is
+    the interpolated 1/w, area2 = e0+e1+e2 exact).
+    Returns (N, 3); white where the material has no texture.
     """
     pyr = scene.textures
     if pyr is None or pyr.num_levels == 0:
         return xp.ones(uv.shape[:-1] + (3,), xp.float32)
 
-    sub = float(config.subpixel)
-    a, b = fp.edge_coeffs(xs, ys, xp)  # (H,W,3) per edge v_k->v_{k+1}
-    # Edge opposite vertex k is edge index (k+1) % 3 (see fixedpoint.coverage).
-    a_opp = xp.stack([a[..., 1], a[..., 2], a[..., 0]], axis=-1).astype(xp.float32)
-    b_opp = xp.stack([b[..., 1], b[..., 2], b[..., 0]], axis=-1).astype(xp.float32)
-
-    uw = attr_w[..., uv_slot]  # (H,W,3)  u_k/w_k
-    vw = attr_w[..., uv_slot + 1]
-    e = xp.stack([e0, e1, e2], axis=-1).astype(xp.float32)
-
-    D = (e * inv_w).sum(-1)
-    Nu = (e * uw).sum(-1)
-    Nv = (e * vw).sum(-1)
-    dDdx = (a_opp * inv_w).sum(-1) * sub
-    dDdy = (b_opp * inv_w).sum(-1) * sub
-    dNudx = (a_opp * uw).sum(-1) * sub
-    dNudy = (b_opp * uw).sum(-1) * sub
-    dNvdx = (a_opp * vw).sum(-1) * sub
-    dNvdy = (b_opp * vw).sum(-1) * sub
-    invD2 = 1.0 / xp.maximum(D * D, 1e-30)
-    dudx = (dNudx * D - Nu * dDdx) * invD2
-    dudy = (dNudy * D - Nu * dDdy) * invD2
-    dvdx = (dNvdx * D - Nv * dDdx) * invD2
-    dvdy = (dNvdy * D - Nv * dDdy) * invD2
+    area2 = (e0 + e1 + e2).astype(xp.float32)
+    D = denom * area2
+    invD = (1.0 / xp.where(D == 0.0, 1e-30, D)).astype(xp.float32)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    dudx = (lod6[..., 2] - u * lod6[..., 0]) * invD
+    dudy = (lod6[..., 3] - u * lod6[..., 1]) * invD
+    dvdx = (lod6[..., 4] - v * lod6[..., 0]) * invD
+    dvdy = (lod6[..., 5] - v * lod6[..., 1]) * invD
 
     lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, pyr.base_size, xp)
 
     tex_id = scene.materials.tex_id[mat_id]
     has_tex = tex_id >= 0
     tid_safe = xp.where(has_tex, tex_id, 0)
-    texc = sm.sample_trilinear(pyr, tid_safe, uv[..., 0], uv[..., 1], lod, xp)
+    texc = sm.sample_trilinear(pyr, tid_safe, u, v, lod, xp)
     return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
 
 
