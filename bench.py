@@ -64,7 +64,9 @@ def main(frames: int = 30):
     )
 
     fps = 1.0 / dt
-    mpix = (p.config.width * p.config.height) * fps / 1e6
+    # measured shaded work from the device counter (BASELINE.json:2), not
+    # re-derived from the resolution
+    mpix = last_stats["fragments_shaded"] * fps / 1e6
     result = {
         "metric": "config3_textured_100k_tris_1080p_fps",
         "value": round(fps, 2),

@@ -27,7 +27,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("preset", choices=[f"config{i}" for i in range(1, 6)])
+    ap.add_argument("preset", choices=[f"config{i}" for i in range(1, 7)])
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--out", default="")
     ap.add_argument("--dump-every", type=int, default=0, help="PNG every N frames")
@@ -119,15 +119,35 @@ def main():
         jax.profiler.start_trace(prof_dir)
         prof_ctx = prof_dir
 
+    # Frame loop with DOUBLE-BUFFERED readback (SURVEY.md §2.1 "Allocators"/
+    # "Command recording & sync"): dispatch frame i, start the async
+    # device->host copy of frame i, and write frame i-1's PNG while the
+    # device renders — host IO overlaps device compute, one frame in flight.
+    def start_copy(f):
+        if hasattr(f.color, "copy_to_host_async"):
+            f.color.copy_to_host_async()
+        return f
+
+    def dump(i, f):
+        write_png(
+            os.path.join(args.out, f"{args.preset}_{i:04d}.png"),
+            np.asarray(f.color),
+        )
+
     t0 = time.perf_counter()
     last = None
+    pending = None  # (index, frame) whose host copy is in flight
     for i in range(args.frames):
         t = args.dt * i
         frame = step(t)
         if args.dump_every and i % args.dump_every == 0:
-            fr = readback(frame)
-            write_png(os.path.join(args.out, f"{args.preset}_{i:04d}.png"), fr.color)
+            start_copy(frame)
+            if pending is not None:
+                dump(*pending)
+            pending = (i, frame)
         last = frame
+    if pending is not None:
+        dump(*pending)
     fr = readback(last)
     dt = (time.perf_counter() - t0) / max(args.frames, 1)
 
@@ -148,8 +168,10 @@ def main():
                 "frames": args.frames,
                 "ms_per_frame": round(dt * 1e3, 2),
                 "fps": round(1.0 / dt, 2),
+                # measured from the device-side counter (shadow-pass texels
+                # included), not re-derived from the resolution
                 "mpixels_shaded_per_s": round(
-                    cfg.width * cfg.height / dt / 1e6, 1
+                    int(fr.stats["fragments_shaded"]) / dt / 1e6, 1
                 ),
                 "stats": {k: int(v) for k, v in fr.stats.items()},
             }

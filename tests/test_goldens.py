@@ -20,6 +20,7 @@ FACTORIES = {
     "config3": lambda: presets.config3_terrain(nx=48, nz=48),
     "config4": lambda: presets.config4_phong(),
     "config5": lambda: presets.config5_flythrough(nx=64, nz=64),
+    "config6": lambda: presets.config6_asset(),
 }
 
 
@@ -42,8 +43,9 @@ def test_device_matches_golden(name):
     diff = np.abs(frame.color.astype(int) - golden.astype(int))
     bad = (diff.max(axis=-1) > 1).sum()
     npix = golden.shape[0] * golden.shape[1]
-    # <=1 LSB everywhere except (config4) a handful of shadow-edge pixels
-    allowed = max(2, int(npix * 0.001)) if name == "config4" else 0
+    # <=1 LSB everywhere except a handful of shadow-edge pixels in the
+    # shadow-mapped configs (4 and 6)
+    allowed = max(2, int(npix * 0.001)) if name in ("config4", "config6") else 0
     assert bad <= allowed, f"{name}: {bad} px differ >1 LSB (max {diff.max()})"
     cov = float((frame.depth < 1.0).mean())
     assert abs(cov - m["coverage"]) < 1e-6, "coverage drifted from golden"

@@ -64,8 +64,9 @@ def bench_preset(name, preset, frames):
                 "fps": round(1.0 / dt, 2),
                 "ms_per_frame": round(dt * 1e3, 2),
                 "mpixels_shaded_per_s": round(
-                    cfg.width * cfg.height / dt / 1e6, 1
+                    last["fragments_shaded"] / dt / 1e6, 1
                 ),
+                "covered_pixels": last.get("covered_pixels", -1),
                 "resolution": f"{cfg.width}x{cfg.height}",
                 "tris_in": stats["tris_in"],
                 "tris_setup": stats["tris_setup"],

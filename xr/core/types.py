@@ -107,6 +107,11 @@ class RenderConfig:
     # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
     backend: str = "auto"
 
+    # Run Pallas kernels in interpret mode (the "sanitizer build",
+    # SURVEY.md §5.2): exercises the kernel path on the CPU backend, e.g.
+    # the stream kernel under a virtual shard_map mesh in tests.
+    pallas_interpret: bool = False
+
     # Visibility strategy: "brute" (all tris x all pixels, small scenes),
     # "binned" (tile lists), or "auto" (brute below 2048 setup tris).
     raster_path: str = "auto"
@@ -156,6 +161,11 @@ class Mesh(struct.PyTreeNode):
     indices:      (T, 3) i32 — CCW front faces (pre-projection)
     material_id:  (T,)  i32 — index into Scene.materials rows
     transform_id: (V,)  i32 — index into Scene.model_matrices
+    vert_mat:     optional (V,) i32 — per-vertex material id (min over
+                  using triangles), a SCENE-STATIC value that the vertex
+                  stage otherwise recomputes every frame (a 22 ms/frame
+                  device scatter at 1M tris). Attach with
+                  xr.scene.procedural.with_vert_mat.
     """
 
     positions: Any
@@ -164,6 +174,7 @@ class Mesh(struct.PyTreeNode):
     indices: Any
     material_id: Any
     transform_id: Any
+    vert_mat: Any = None
 
     @property
     def num_vertices(self) -> int:

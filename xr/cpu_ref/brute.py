@@ -169,3 +169,73 @@ def render(scene: Scene, camera, config: RenderConfig):
     u8 = np.clip(color, 0.0, 1.0)
     u8 = np.floor(u8 * 255.0 + 0.5).astype(np.uint8)
     return u8, np.where(np.isinf(depth), 1.0, depth).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Independent scalar texture sampling + shadow compare (SURVEY.md §4.2).
+# Shares NO code with xr/core/shade_math.py: its own wrap, anchor, bilinear
+# and level-lerp logic in float64 from the raw mip level images. A shared
+# bug in sample_trilinear/shadow_test cannot hide from these.
+# ---------------------------------------------------------------------------
+
+
+def _quantize_u8(level: np.ndarray) -> np.ndarray:
+    """8-bit texel quantization, matching what any real GPU texture (and
+    the packed quad pyramid) stores."""
+    q = np.floor(np.clip(level, 0.0, 1.0) * 255.0 + 0.5)
+    return q / 255.0
+
+
+def _bilinear_scalar(level: np.ndarray, u: float, v: float) -> np.ndarray:
+    """One float64 bilinear tap with repeat wrap; texel centers at +0.5."""
+    s = level.shape[0]
+    tu = (u - math.floor(u)) * s - 0.5
+    tv = (v - math.floor(v)) * s - 0.5
+    i0 = math.floor(tu)
+    j0 = math.floor(tv)
+    fu = tu - i0
+    fv = tv - j0
+    out = np.zeros(3, np.float64)
+    for dj, wv in ((0, 1.0 - fv), (1, fv)):
+        for di, wu in ((0, 1.0 - fu), (1, fu)):
+            tex = level[(j0 + dj) % s, (i0 + di) % s]
+            out += (wu * wv) * tex.astype(np.float64)
+    return out
+
+
+def sample_trilinear_scalar(levels, u: float, v: float, lod: float) -> np.ndarray:
+    """Float64 scalar trilinear sample from raw mip LEVEL images.
+
+    levels: list of (s, s, 3) f32 arrays, level 0 first (e.g. slices of
+    TexturePyramid.data reshaped per level). Returns (3,) f64 in [0, 1].
+    """
+    L = len(levels)
+    lf = min(max(lod, 0.0), float(L - 1))
+    l0 = int(math.floor(lf))
+    l1 = min(l0 + 1, L - 1)
+    frac = lf - l0
+    c0 = _bilinear_scalar(_quantize_u8(levels[l0]), u, v)
+    c1 = _bilinear_scalar(_quantize_u8(levels[l1]), u, v)
+    return c0 * (1.0 - frac) + c1 * frac
+
+
+def shadow_test_scalar(
+    shadow_depth: np.ndarray, world_pos, light_viewproj, bias: float
+) -> float:
+    """Float64 scalar shadow-map compare: 1.0 lit, 0.0 shadowed.
+
+    Independent re-derivation: project the world point by the light
+    view-proj, viewport-map NDC to texel coords (y flipped), nearest
+    sample, compare z - bias > stored depth. Outside the map => lit.
+    """
+    hs, ws = shadow_depth.shape
+    p = np.asarray(world_pos, np.float64)
+    m = np.asarray(light_viewproj, np.float64)
+    clip4 = m @ np.array([p[0], p[1], p[2], 1.0])
+    w = max(float(clip4[3]), 1e-12)
+    nx, ny, nz = (float(clip4[k]) / w for k in range(3))
+    if not (-1.0 <= nx <= 1.0 and -1.0 <= ny <= 1.0 and 0.0 <= nz <= 1.0):
+        return 1.0
+    ix = min(max(int(math.floor((nx * 0.5 + 0.5) * ws)), 0), ws - 1)
+    iy = min(max(int(math.floor((0.5 - ny * 0.5) * hs)), 0), hs - 1)
+    return 0.0 if nz - bias > float(shadow_depth[iy, ix]) else 1.0

@@ -241,12 +241,14 @@ def _vertex_stage(scene: Scene, view, proj, config: RenderConfig, xp=np):
         kd = mat.kd[mesh.material_id]
         face_rgb = sm.shade_flat_face(fn, base, kd, scene.lights, xp)
     elif mode == MODE_GOURAUD:
-        base = mat.base_color[_vert_mat(mesh, xp)]
-        kd = mat.kd[_vert_mat(mesh, xp)]
+        vm = _vert_mat(mesh, xp)
+        base = mat.base_color[vm]
+        kd = mat.kd[vm]
         attrs = sm.shade_vertex_lit(n_world, base, kd, scene.lights, xp)
     elif mode == MODE_TEXTURED:
-        base = mat.base_color[_vert_mat(mesh, xp)]
-        kd = mat.kd[_vert_mat(mesh, xp)]
+        vm = _vert_mat(mesh, xp)
+        base = mat.base_color[vm]
+        kd = mat.kd[vm]
         lit = sm.shade_vertex_lit(n_world, base, kd, scene.lights, xp)
         attrs = xp.concatenate([mesh.uvs, lit], axis=1).astype(xp.float32)
     elif mode == MODE_PHONG:
@@ -260,7 +262,13 @@ def _vert_mat(mesh, xp):
     """Per-vertex material id: the LOWEST material id among triangles using
     the vertex. A min-reduction scatter is order-independent, so numpy and
     XLA (whose duplicate-index scatter-set order is unspecified) agree
-    bit-for-bit (SURVEY.md §7.3.3)."""
+    bit-for-bit (SURVEY.md §7.3.3).
+
+    SCENE-STATIC: prefer attaching it host-side (Mesh.vert_mat, see
+    xr.scene.procedural.with_vert_mat) — the device scatter serializes
+    (22 ms/frame at 1M tris). This fallback keeps ad-hoc scenes working."""
+    if mesh.vert_mat is not None:
+        return mesh.vert_mat
     V = mesh.num_vertices
     idx = mesh.indices.reshape(-1)
     val = xp.repeat(mesh.material_id, 3).astype(xp.int32)

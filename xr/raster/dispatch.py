@@ -45,22 +45,31 @@ def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
     backend = config.backend
     if backend == "auto":
         backend = "pallas_stream" if on_tpu() else "jnp"
-    if not config.depth_test:
-        # painter's-order resolve is implemented in the jnp backends only
-        backend = "jnp"
+    if not config.depth_test and backend == "pallas":
+        # painter's order is implemented in the scalar-record kernels
+        # (pallas_stream/pallas_smem) and the jnp backends; the VMEM
+        # masked-reduce kernel keeps its jnp fallback
+        backend = "pallas_stream" if on_tpu() else "jnp"
     if backend == "pallas_smem" and _smem_bytes(config) > 900_000:
         # v5e has ~1MB of SMEM; big bin capacities only fit in VMEM
         backend = "pallas"
+    interp = config.pallas_interpret
     if backend == "pallas_stream":
         from xr.raster import pallas_stream
 
-        return pallas_stream.visibility_binned(tri, config, y_offset=y_offset)
+        return pallas_stream.visibility_binned(
+            tri, config, y_offset=y_offset, interpret=interp
+        )
     if backend == "pallas_smem":
         from xr.raster import pallas_smem
 
-        return pallas_smem.visibility_binned(tri, config, y_offset=y_offset)
+        return pallas_smem.visibility_binned(
+            tri, config, y_offset=y_offset, interpret=interp
+        )
     if backend == "pallas":
         from xr.raster import pallas_backend
 
-        return pallas_backend.visibility_binned(tri, config, y_offset=y_offset)
+        return pallas_backend.visibility_binned(
+            tri, config, y_offset=y_offset, interpret=interp
+        )
     return jnp_backend.visibility_binned(tri, config, y_offset=y_offset)

@@ -57,14 +57,18 @@ def gather_field_records(lists, packed, C: int):
 
 def _raster_scalar_records(
     read, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota,
-    *, th: int, tw: int, sub: int,
+    *, th: int, tw: int, sub: int, depth_test: bool = True,
 ):
     """Triangle loop with scalar record reads. `read(field, k)` -> scalar.
 
     Fields 0..9 = x0,x1,x2,y0,y1,y2 (i32), z0,z1,z2 (f32), id (i32).
     Every triangle gets a scalar tile-x bbox test plus per-row-band bbox
     predication, so off-tile triangles (e.g. global large-bucket entries)
-    cost only scalar work."""
+    cost only scalar work.
+
+    depth_test=False is PAINTER'S ORDER: the highest-id covered triangle
+    wins (callers init tid to -1 and map -1 -> BG afterwards), exactly the
+    jnp backend's fold (SURVEY.md §2.1 "Pipeline state")."""
     half = sub // 2
     nbands = th // 8
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -122,7 +126,10 @@ def _raster_scalar_records(
                 mask = mask & (zf >= 0.0) & (zf <= 1.0)
                 zb = zb_ref[b * 8 : b * 8 + 8, :]
                 tb = tid_ref[b * 8 : b * 8 + 8, :]
-                better = mask & ((zf < zb) | ((zf == zb) & (tri_id < tb)))
+                if depth_test:
+                    better = mask & ((zf < zb) | ((zf == zb) & (tri_id < tb)))
+                else:
+                    better = mask & (tri_id > tb)
                 zb_ref[b * 8 : b * 8 + 8, :] = jnp.where(better, zf, zb)
                 tid_ref[b * 8 : b * 8 + 8, :] = jnp.where(better, tri_id, tb)
 
@@ -153,10 +160,11 @@ def _vis_kernel(
     tw: int,
     sub: int,
     ntx: int,
+    depth_test: bool = True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    tid_ref[:] = jnp.full((th, tw), BG, jnp.int32)
+    tid_ref[:] = jnp.full((th, tw), BG if depth_test else -1, jnp.int32)
     zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
@@ -165,14 +173,14 @@ def _vis_kernel(
         lambda f, k: larges[f][k],
         lcount_ref[0],
         i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub,
+        th=th, tw=tw, sub=sub, depth_test=depth_test,
     )
     smalls = (sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid)
     _raster_scalar_records(
         lambda f, k: smalls[f][0, 0, k],
         counts_ref[i * ntx + j],
         i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub,
+        th=th, tw=tw, sub=sub, depth_test=depth_test,
     )
 
 
@@ -198,7 +206,10 @@ def visibility_binned(
     large = gather_field_records(b.large_ids, packed, C)  # (lcapp,) x10
     capp = small[0].shape[1]
 
-    kernel = functools.partial(_vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx)
+    kernel = functools.partial(
+        _vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx,
+        depth_test=config.depth_test,
+    )
 
     def small_spec():
         return pl.BlockSpec(
@@ -233,4 +244,7 @@ def visibility_binned(
         *large,
     )
 
+    if not config.depth_test:
+        tid = jnp.where(tid < 0, BG, tid)
+        zb = jnp.where(tid == BG, jnp.inf, zb)
     return tid[:H, :W], zb[:H, :W], b.dropped

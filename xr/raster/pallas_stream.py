@@ -75,6 +75,7 @@ def _vis_kernel(
     sub: int,
     ntx: int,
     blk: int,
+    depth_test: bool = True,
 ):
     b = pl.program_id(0)
     t = bt_ref[b]
@@ -87,14 +88,14 @@ def _vis_kernel(
 
     @pl.when(first)
     def _():
-        tid_ref[:] = jnp.full((th, tw), BG, jnp.int32)
+        tid_ref[:] = jnp.full((th, tw), BG if depth_test else -1, jnp.int32)
         zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
         larges = (lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid)
         _raster_scalar_records(
             lambda f, k: larges[f][k],
             lcount_ref[0],
             i, j, zb_ref, tid_ref, sub_iota,
-            th=th, tw=tw, sub=sub,
+            th=th, tw=tw, sub=sub, depth_test=depth_test,
         )
 
     n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, blk)
@@ -110,7 +111,7 @@ def _vis_kernel(
 
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub,
+        th=th, tw=tw, sub=sub, depth_test=depth_test,
     )
 
 
@@ -174,7 +175,8 @@ def visibility_binned(
     large = gather_field_records(b.large_ids, packed, C)
 
     kernel = functools.partial(
-        _vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx, blk=BLK
+        _vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx, blk=BLK,
+        depth_test=config.depth_test,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -229,6 +231,10 @@ def visibility_binned(
     # never ran — their framebuffer blocks are uninitialized HBM. Mask them
     # to background so overflow degrades like every other backend (the
     # dropped counter still reports it loudly).
+    if not config.depth_test:
+        # painter's order: the kernel carried -1 for "none"; map to BG
+        tid = jnp.where(tid < 0, BG, tid)
+        zb = jnp.where(tid == BG, jnp.inf, zb)
     tile_ran = bstart_t < jnp.minimum(nb_total, NB)  # (ntiles,)
     ran_rows = tile_ran.reshape(nty, ntx)
     ran_px = jnp.repeat(jnp.repeat(ran_rows, TH, axis=0), TW, axis=1)

@@ -180,9 +180,11 @@ def load_obj_scene(path: str, lights=None, native: bool = True):
     """
     from xr.core.image import read_png
     from xr.core.types import Lights, Material, Scene
+    from xr.scene.procedural import with_vert_mat
     from xr.scene.texture import build_pyramid
 
     mesh, names = load_obj(path, native=native)
+    mesh = with_vert_mat(mesh)  # scene-static; avoids a per-frame scatter
 
     # find mtllib reference
     mtl = {}

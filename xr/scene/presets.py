@@ -84,7 +84,7 @@ def config2_icospheres() -> Preset:
             m = m3.translation(((gx - 2.5) * 1.5, 0.0, (gz - 2.5) * 1.5), np)
             spheres.append(proc.transformed(s, m))
             k += 1
-    mesh = proc.merge_meshes(spheres)  # 36 * 320 = 11520 tris
+    mesh = proc.with_vert_mat(proc.merge_meshes(spheres))  # 36*320 tris
     scene = Scene(
         mesh=mesh,
         materials=Material.table(
@@ -130,7 +130,7 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
     """Config 3 (BASELINE.json:9): textured ~100k-tri scene with
     perspective-correct bilinear sampling + mipmaps. Terrain is the
     reference's flagship app domain (SURVEY.md §1 L4)."""
-    mesh = proc.terrain(nx, nz, size=40.0, height=4.0)
+    mesh = proc.with_vert_mat(proc.terrain(nx, nz, size=40.0, height=4.0))
     pyramid = tx.build_pyramid([tx.checkerboard(256, 16), tx.noise_texture(256)])
     scene = Scene(
         mesh=mesh,
@@ -253,7 +253,7 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
             (rng.uniform(1, 4), h, rng.uniform(1, 4)), np
         )
         objs.append(proc.transformed(b, m))
-    mesh = proc.merge_meshes(objs)
+    mesh = proc.with_vert_mat(proc.merge_meshes(objs))
     pyramid = tx.build_pyramid([tx.noise_texture(256, seed=9), tx.checkerboard(256, 8)])
     scene = Scene(
         mesh=mesh,
@@ -299,9 +299,77 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         bin_capacity=16384,
         large_capacity=4096,
         clip_budget=8192,
-        stream_expand=0.5,
+        # fly-through max is ~390k post-cull tris (of 1.0M in): capacity
+        # 552k keeps 1.4x headroom; binning/record work scales with it
+        clip_expand=0.55,
+        stream_expand=1.2,
+        stream_block=256,
     )
     return Preset("config5_flythrough", scene, animate, cfg)
+
+
+def config6_asset(assets_dir: str = None) -> Preset:
+    """Config 6: the LOADED-asset flagship scene — a ~96k-tri multi-material
+    courtyard read from disk through the full asset pipeline (OBJ parser ->
+    MTL -> map_Kd PNGs of three different sizes -> mips -> render), with
+    Phong shading + a 1024^2 shadow map. The reference's flagship apps
+    render loaded scenes (SURVEY.md §2.1 "Sample apps", BASELINE.json:11);
+    this preset proves the same path end-to-end. Assets are generated
+    deterministically on first use (tools/gen_assets.py)."""
+    import os
+
+    from xr.scene.objio import load_obj_scene
+
+    if assets_dir is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        assets_dir = os.path.join(root, "assets", "courtyard")
+    obj_path = os.path.join(assets_dir, "courtyard.obj")
+    if not os.path.exists(obj_path):
+        import importlib.util
+
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        spec = importlib.util.spec_from_file_location(
+            "xr_gen_assets", os.path.join(root, "tools", "gen_assets.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main(assets_dir)
+
+    scene = load_obj_scene(
+        obj_path,
+        lights=Lights.make(
+            dir_dirs=[(-0.4, -0.85, -0.3), (0.5, -0.4, 0.6)],
+            dir_colors=[(1.0, 0.96, 0.88), (0.18, 0.2, 0.26)],
+            ambient=(0.16, 0.16, 0.18),
+        ),
+    )
+
+    def animate(t, xp=np):
+        tf = xp.asarray(t, xp.float32)
+        ang = 0.6 + tf * 0.15
+        eye = xp.stack(
+            [13.0 * xp.cos(ang), 5.5 + 0.8 * xp.sin(tf * 0.4), 13.0 * xp.sin(ang)]
+        )
+        cam = Camera(
+            eye=eye.astype(xp.float32),
+            target=xp.asarray((0.0, 1.8, 0.0), xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(55.0), xp.float32),
+            near=xp.asarray(0.3, xp.float32),
+            far=xp.asarray(90.0, xp.float32),
+        )
+        return cam, xp.asarray(_identity_mats(), xp.float32)
+
+    cfg = RenderConfig(
+        width=1920, height=1080, mode=MODE_PHONG, shadow_map_size=1024,
+        tile_h=32, tile_w=128, bin_capacity=8192, clip_budget=4096,
+        clip_expand=1.0, stream_expand=1.5, stream_block=256,
+    )
+    return Preset("config6_asset", scene, animate, cfg)
 
 
 ALL_PRESETS = {
@@ -310,6 +378,7 @@ ALL_PRESETS = {
     "config3": config3_terrain,
     "config4": config4_phong,
     "config5": config5_flythrough,
+    "config6": config6_asset,
 }
 
 

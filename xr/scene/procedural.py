@@ -221,3 +221,15 @@ def transformed(mesh: Mesh, matrix: np.ndarray) -> Mesh:
     nrm = mesh.normals @ m[:3, :3].T
     nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
     return mesh.replace(positions=pos.astype(np.float32), normals=nrm.astype(np.float32))
+
+
+def with_vert_mat(mesh: Mesh) -> Mesh:
+    """Attach the scene-static per-vertex material id (host precompute).
+
+    The vertex stage needs min-over-using-triangles material per vertex for
+    Gouraud/textured lighting; computing it per frame on the device is a
+    serializing scatter (~22 ms at 1M tris). Call this once at scene build.
+    """
+    from xr.pipeline.geometry import _vert_mat
+
+    return mesh.replace(vert_mat=_vert_mat(mesh, np))
