@@ -75,14 +75,15 @@ def shade_deferred(
         color = tri.face_rgb[t]
         return out(_with_bg(color, bg, config, xp))
 
-    # TWO wide-row gathers for all per-pixel triangle data: XLA vectorizes
-    # (H,W)-indexed gathers of contiguous (C, R) rows far better than many
-    # narrow gathers (ints ride along bitcast to f32). attr_w is gathered
-    # separately because its consumer wants a different layout — a single
-    # fused record forced a full-width slice + two whole-array relayout
-    # copies (~6 ms/frame at 1080p in the round-1 trace). Gather COST is
-    # per-row on TPU (~1.8 ns/row regardless of width), so two gathers cost
-    # 2x one — but the slice+copies they remove cost more.
+    # ONE wide-row gather for all per-pixel triangle data. TPU gather cost
+    # is set by the lane-PADDED {1,0:T(8,128)} materialization of the
+    # output (K of 128 lanes used), so a 31-col gather costs the same as a
+    # 13-col one (per-op traces: 13/18/31-col all ~3.7 ms at 1080p) — the
+    # merge over the previous geo+attr table pair saves a full gather and a
+    # relayout copy. Every consumer below is a COLUMN slice (XLA inserts
+    # one {0,1} relayout, then slices are contiguous); per-field gathers
+    # (7 ns/element) and an explicit transpose (per-row slice_reduce
+    # fusions) were both measured far slower — PERF.md round 2.
     A = config.attr_width
     uv_slot = None
     if scene.textures is not None and scene.textures.num_levels > 0:
@@ -90,51 +91,61 @@ def shade_deferred(
             uv_slot = 0
         elif config.mode == MODE_PHONG:
             uv_slot = 6
-    geo_rec, attr_rec = _pack_records(tri, A, xp, config, uv_slot)
-    rec = geo_rec[t]  # (H*W, 7 or 13)
+    table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
+    rec = table[t]  # (H*W, K) — ONE gather; XLA inserts one {0,1} relayout
     xs = _bits_to_i32(rec[..., 0:3], xp)
     ys = _bits_to_i32(rec[..., 3:6], xp)
-    # inv_w rides in the ATTR table as a 4th..6th "attribute" column: its
-    # lam-interpolation IS the perspective denominator, so the geo table
-    # keeps only slice-consumers (a (·,3)-sum consumer of the geo gather
-    # made XLA fork a second whole-table slice+relayout, ~4.6 ms/frame).
-    attr_w = attr_rec[t].reshape(rec.shape[:-1] + (3, A + 1))
 
     _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
     l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
-    lam = xp.stack([l0, l1, l2], axis=-1)
 
-    raw = xp.sum(lam[..., None] * attr_w, axis=-2)  # (H*W, A+1)
-    denom = raw[..., A]  # interpolated 1/w
+    # perspective-correct interpolation with EXPLICIT per-column math:
+    # raw_j = (l0*a0j + l1*a1j) + l2*a2j — the same product set and
+    # left-associated add order as a sum(lam[..., None] * attr_w, axis=-2)
+    # over (N, 3, A+1), so results are bit-identical, but every consumer is
+    # a cheap column slice of the one relayouted record (no (N, 3, A+1)
+    # reshape materialization, ~0.9 ms at 1080p).
+    att0 = lod_base + (6 if uv_slot is not None else 0)
+
+    def interp(g):  # vertex-major group of 3 columns at att0 + 3*g
+        c = att0 + 3 * g
+        return (
+            l0 * rec[..., c] + l1 * rec[..., c + 1]
+        ) + l2 * rec[..., c + 2]
+
+    denom = interp(A)  # interpolated 1/w (last group)
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
-    attrs = raw[..., :A] * inv_denom[..., None]
+
+    def attr(j):
+        return interp(j) * inv_denom
 
     if config.mode == MODE_GOURAUD:
-        return out(_with_bg(attrs[..., 0:3], bg, config, xp))
+        rgb = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
+        return out(_with_bg(rgb, bg, config, xp))
 
     mat_id = _bits_to_i32(rec[..., 6], xp)
     mats = scene.materials
 
-    lod6 = rec[..., 7:13] if uv_slot is not None else None
+    lod6 = rec[..., lod_base : lod_base + 6] if uv_slot is not None else None
 
     if config.mode == MODE_TEXTURED:
-        uv = attrs[..., 0:2]
-        lit = attrs[..., 2:5]
+        u, v = attr(0), attr(1)
+        lit = xp.stack([attr(2), attr(3), attr(4)], axis=-1)
         texc = _sample_texture(
-            scene, config, uv, lod6, e0, e1, e2, denom, mat_id, xp,
+            scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
         )
         return out(_with_bg(texc * lit, bg, config, xp))
 
     assert config.mode == MODE_PHONG
-    world = attrs[..., 0:3]
-    normal = attrs[..., 3:6]
+    world = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
+    normal = xp.stack([attr(3), attr(4), attr(5)], axis=-1)
     nrm = xp.sqrt(xp.sum(normal * normal, axis=-1, keepdims=True))
     normal = normal / xp.maximum(nrm, 1e-12)
-    uv = attrs[..., 6:8]
+    u, v = attr(6), attr(7)
 
     base = mats.base_color[mat_id]
     texc = _sample_texture(
-        scene, config, uv, lod6, e0, e1, e2, denom, mat_id, xp,
+        scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
     )
     base = base * texc
 
@@ -182,15 +193,14 @@ def _bits_to_i32(a, xp):
 
 
 def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
-    """Two record tables, gathered per pixel by triangle id:
-    geo (C, 7|13) f32: xs(3) ys(3) mat_id(1) (ints bitcast), plus
-    — when uv_slot is given — 6 per-RECORD texture-LOD derivative terms
-    (dDdx dDdy dNudx dNudy dNvdx dNvdy). The screen-space uv-derivative
-    numerator/denominator derivatives depend only on edge coefficients and
-    per-vertex uw/vw/1w, i.e. they are constant per triangle — computing
-    them per record instead of per pixel removes ~10 framebuffer-sized
-    intermediates from the shading pass (PERF.md round 2);
-    attr (C, 3A) f32: attr_w flattened."""
+    """ONE record table (C, K) f32, gathered per pixel by triangle id:
+    xs(3) ys(3) mat_id(1) (ints bitcast), then — when uv_slot is given —
+    6 per-RECORD texture-LOD derivative terms (dDdx dDdy dNudx dNudy dNvdx
+    dNvdy; the screen-space uv-derivative numerator/denominator derivatives
+    depend only on edge coefficients and per-vertex uw/vw/1w, i.e. they are
+    constant per triangle — computed per record, not per pixel), then A
+    attribute groups of 3 vertex-major columns, then the 1/w group.
+    Returns (table, lod_base); LOD terms sit at lod_base..lod_base+5."""
     C = tri.capacity
     cols = [
         _i32_to_bits(tri.xs, xp),
@@ -215,17 +225,16 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
             (b_opp * vw).sum(-1) * sub,  # dNv/dy
         ]
         cols.append(xp.stack(terms, axis=-1).astype(xp.float32))
-    geo = xp.concatenate(cols, axis=1)
-    # attr table: per vertex k the A attributes then 1/w_k — the lam-
-    # interpolation of that last column is the perspective denominator
-    attr = xp.concatenate(
-        [tri.attr_w, tri.inv_w[:, :, None]], axis=2
-    ).reshape(C, 3 * (A + 1))
-    return geo, attr
+    # attribute groups, vertex-major per attribute, then the 1/w group
+    # (whose lam-interpolation is the perspective denominator)
+    aw = xp.transpose(tri.attr_w, (0, 2, 1)).reshape(C, 3 * A)
+    cols.append(aw.astype(xp.float32))
+    cols.append(tri.inv_w.astype(xp.float32))
+    return xp.concatenate(cols, axis=1), 7
 
 
 def _sample_texture(
-    scene, config, uv, lod6, e0, e1, e2, denom, mat_id, xp,
+    scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
 ):
     """Trilinear texture fetch with analytic per-pixel LOD.
 
@@ -242,13 +251,11 @@ def _sample_texture(
     """
     pyr = scene.textures
     if pyr is None or pyr.num_levels == 0:
-        return xp.ones(uv.shape[:-1] + (3,), xp.float32)
+        return xp.ones(u.shape + (3,), xp.float32)
 
     area2 = (e0 + e1 + e2).astype(xp.float32)
     D = denom * area2
     invD = (1.0 / xp.where(D == 0.0, 1e-30, D)).astype(xp.float32)
-    u = uv[..., 0]
-    v = uv[..., 1]
     dudx = (lod6[..., 2] - u * lod6[..., 0]) * invD
     dudy = (lod6[..., 3] - u * lod6[..., 1]) * invD
     dvdx = (lod6[..., 4] - v * lod6[..., 0]) * invD
