@@ -300,8 +300,10 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         large_capacity=4096,
         clip_budget=8192,
         # fly-through max is ~390k post-cull tris (of 1.0M in): capacity
-        # 552k keeps 1.4x headroom; binning/record work scales with it
-        clip_expand=0.55,
+        # 431k keeps ~1.1x headroom (overflow counters are loud if a camera
+        # path ever exceeds it); every binning/record/sort stage scales
+        # with this capacity
+        clip_expand=0.43,
         stream_expand=1.2,
         stream_block=256,
     )
