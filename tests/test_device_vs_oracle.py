@@ -101,3 +101,43 @@ def test_depth_test_off_painter_order(path):
     assert ((df.depth == 1.0) == (of.depth == 1.0)).all(), "coverage mismatch"
     assert (df.color == of.color).all(), "painter order differs"
     np.testing.assert_allclose(df.depth, of.depth, atol=1e-6)
+
+
+def test_identity_vs_compacted_layout():
+    """Identity record layout (capacity >= T + clip_budget*7, geometry.py)
+    must produce the same image as the compacted layout: record ids stay
+    ascending in input order, so (z, id) ties resolve identically."""
+    import jax.numpy as jnp
+
+    from xr.core.types import MODE_TEXTURED
+    from xr.pipeline.geometry import MAX_FAN, clip_capacity
+    from xr.scene.presets import config3_terrain
+
+    p = small_preset(config3_terrain(nx=24, nz=24), 96, 64)
+    cam, mm = p.animate(0.7, np)
+    scene = p.scene.replace(model_matrices=mm)
+    T = scene.mesh.num_triangles
+    assert p.config.mode == MODE_TEXTURED
+
+    cfg_c = dataclasses.replace(p.config, clip_expand=0.9, clip_budget=64)
+    assert clip_capacity(T, cfg_c) < T + 64 * MAX_FAN  # compacted branch
+    cfg_i = dataclasses.replace(p.config, clip_expand=1.5, clip_budget=64)
+    assert clip_capacity(T, cfg_i) >= T + 64 * MAX_FAN  # identity branch
+
+    frames = {}
+    for name, cfg in (("compact", cfg_c), ("identity", cfg_i)):
+        r = Renderer(scene, cfg)
+        df = r.readback(r.step(scene, cam))
+        assert int(df.stats["clip_overflow"]) == 0
+        assert int(df.stats["bin_overflow"]) == 0
+        frames[name] = df
+        # oracle (numpy) takes the same branch: full pixel-exact parity
+        of = render_frame(scene, cam, cfg)
+        _compare(of, df)
+
+    np.testing.assert_array_equal(
+        np.asarray(frames["compact"].color), np.asarray(frames["identity"].color)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frames["compact"].depth), np.asarray(frames["identity"].depth)
+    )

@@ -103,6 +103,13 @@ class RenderConfig:
     # per-block SMEM window = 40 bytes * stream_block (x2 double-buffered).
     stream_block: int = 512
 
+    # Absolute streaming-entry capacity override. 0 = derive from the
+    # post-clip capacity (C * stream_expand). Set when the record capacity
+    # is intentionally much larger than the live triangle count (identity
+    # record layout, see geometry()) so stream sizing tracks the measured
+    # bin-entry count instead. Overflow stays loud either way.
+    stream_entry_cap: int = 0
+
     # Raster backend: "jnp" (portable, runs on CPU mesh tests) or "pallas"
     # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
     backend: str = "auto"

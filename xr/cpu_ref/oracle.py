@@ -48,8 +48,10 @@ def visibility_bbox(tri: TriBuf, config: RenderConfig) -> Tuple[np.ndarray, np.n
     zbuf = np.full((H, W), rc.BG_DEPTH, np.float32)
     tid = np.full((H, W), rc.BG_TRI_ID, np.int32)
 
-    count = int(tri.count)
-    for i in range(count):
+    # iterate the whole capacity gated on `valid` — with the identity
+    # record layout (geometry.py) valid entries are NOT a prefix, so
+    # `count` is a statistic, not a loop bound
+    for i in range(tri.capacity):
         if not bool(tri.valid[i]):
             continue
         xs, ys, z = tri.xs[i], tri.ys[i], tri.z[i]

@@ -452,6 +452,49 @@ def geometry(
         mesh.material_id.astype(xp.int32)[sel][:, None], (B, F)
     )
 
+    # ---- identity record layout (capacity covers every triangle) ----------
+    # When C >= T + B*F no compaction is needed: record id == input triangle
+    # id (fans appended at T + fan slot), invalid slots just stay masked.
+    # This skips the (C, K)-wide compaction gather entirely — at ~1M-tri
+    # scale XLA lays the packed record table out column-major and the
+    # strided compaction gather alone costs ~20 ms/frame (PERF.md round 2).
+    # Record ids remain ascending in input order, so (z, id) depth ties
+    # resolve to the same triangle as the compacted layout; the oracle
+    # (numpy) takes this same branch for identical semantics.
+    BF_id = B * F
+    if C >= T + BF_id:
+        pad = C - T - BF_id
+
+        def cat(a_field, b_field):
+            b2 = b_field.reshape((BF_id,) + b_field.shape[2:])
+            out = xp.concatenate([a_field, b2], axis=0)
+            if pad:
+                out = xp.concatenate(
+                    [out, xp.zeros((pad,) + out.shape[1:], out.dtype)],
+                    axis=0,
+                )
+            return out
+
+        validI = cat(validA, validB)
+        totalA_i = xp.sum(validA.astype(xp.int32))
+        totalB_i = xp.sum(validB.astype(xp.int32))
+        return TriBuf(
+            xs=cat(xsA, xsB),
+            ys=cat(ysA, ysB),
+            z=cat(zA, zB),
+            inv_w=cat(iwA, iwB),
+            attr_w=(
+                cat(awA, awB)
+                if A
+                else xp.zeros((C, 3, 0), xp.float32)
+            ),
+            face_rgb=cat(rgbA, rgbB),
+            mat_id=cat(matA, matB),
+            valid=validI,
+            count=(totalA_i + totalB_i).astype(xp.int32),
+            overflow=xp.maximum(crossing_total - B, 0).astype(xp.int32),
+        )
+
     # ---- order-preserving compaction into capacity C ----------------------
     BF = B * F
     idxA, countA, totalA = _sort_compact_ids(validA, C, xp)

@@ -51,11 +51,13 @@ BLK_DEFAULT = 512  # see RenderConfig.stream_block
 def stream_blocks(config: RenderConfig, num_tris: int) -> int:
     """Static block capacity: config.stream_expand entries per post-clip
     triangle (<= 4 by construction, ~1.2 typical), plus one pad block per
-    tile. Record-gather cost scales with this, so keep it honest — overflow
-    is counted loudly."""
+    tile — or the absolute config.stream_entry_cap override (identity
+    record layout keeps capacity >> live triangles). Record-gather cost
+    scales with this, so keep it honest — overflow is counted loudly."""
     nty, ntx = grid_dims(config)
     BLK = getattr(config, "stream_block", BLK_DEFAULT)
-    est_entries = int(num_tris * config.stream_expand) + 64
+    cap = getattr(config, "stream_entry_cap", 0)
+    est_entries = cap or (int(num_tris * config.stream_expand) + 64)
     return est_entries // BLK + nty * ntx + 1
 
 

@@ -166,7 +166,7 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
 
     cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED,
                        tile_h=32, tile_w=128, bin_capacity=3072,
-                       clip_budget=1024, clip_expand=0.75,
+                       clip_budget=1024, clip_expand=0.55,
                        stream_expand=1.3, stream_block=128)
     return Preset("config3_terrain", scene, animate, cfg)
 
@@ -302,7 +302,9 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         # fly-through max is ~390k post-cull tris (of 1.0M in): capacity
         # 431k keeps ~1.1x headroom (overflow counters are loud if a camera
         # path ever exceeds it); every binning/record/sort stage scales
-        # with this capacity
+        # with this capacity. (The identity record layout — clip_expand
+        # >= ~1.06 — was benched at 214 ms here: the C-scale concat/table
+        # costs outweigh the saved compaction gather. See PERF.md.)
         clip_expand=0.43,
         stream_expand=1.2,
         stream_block=256,
