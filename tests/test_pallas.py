@@ -19,7 +19,9 @@ from xr.scene.presets import config1_cube, config2_icospheres, small_preset
 
 
 def _tri_and_cfg(preset, t=0.2, **over):
-    p = small_preset(preset, 96, 64, tile_h=16, tile_w=128, bin_capacity=8192, **over)
+    kw = dict(tile_h=16, tile_w=128, bin_capacity=8192)
+    kw.update(over)
+    p = small_preset(preset, 96, 64, **kw)
     cam, mm = p.animate(t, np)
     scene = p.scene.replace(model_matrices=mm)
     view, proj = m3.camera_matrices(cam, p.config.width / p.config.height, np)
@@ -70,9 +72,14 @@ def test_pallas_smem_interpret_matches_jnp(preset_fn):
 
 @pytest.mark.tpu
 def test_pallas_smem_tpu_matches_jnp():
+    from xr.raster import dispatch
     from xr.raster import pallas_smem as psm
 
-    tri, cfg = _tri_and_cfg(config2_icospheres())
+    # 16-field plane-form records cap the SMEM variant's per-tile capacity
+    # (~1 MB SMEM on v5e); use a capacity inside the budget, exactly as
+    # the dispatch guard enforces for renders
+    tri, cfg = _tri_and_cfg(config2_icospheres(), bin_capacity=3072)
+    assert dispatch._smem_bytes(cfg) <= 900_000
     t_j, z_j, _ = jb.visibility_binned(tri, cfg)
     t_p, z_p, _ = psm.visibility_binned(tri, cfg)
     assert (np.asarray(t_j) == np.asarray(t_p)).all()

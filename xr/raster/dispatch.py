@@ -28,8 +28,8 @@ def _pad128(n: int) -> int:
 
 def _smem_bytes(config: RenderConfig) -> int:
     """SMEM footprint of the pallas_smem kernel's record windows."""
-    small = 10 * 4 * _pad128(config.bin_capacity) * 2  # double-buffered
-    large = 10 * 4 * _pad128(config.large_capacity)
+    small = 16 * 4 * _pad128(config.bin_capacity) * 2  # double-buffered
+    large = 16 * 4 * _pad128(config.large_capacity)
     return small + large
 
 

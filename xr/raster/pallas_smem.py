@@ -27,19 +27,65 @@ from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
 BG = rc.BG_TRI_ID
 
 
+NFIELDS = 16  # record width; see pack_tri_records
+_B16 = 32768  # bias packing signed 16-bit bbox coords into u16 halves
+
+
 def pack_tri_records(tri: TriBuf, yo):
-    """(C, 10) i32 rows: xs*3, ys*3 (band-translated), z-bits*3, id."""
+    """(C, 16) i32 PLANE-FORM records — the kernels' per-record scalar work
+    is the bottleneck (the scalar core issues ~1 op/cycle), so everything
+    derivable per RECORD is precomputed here, vectorized, at C scale:
+
+      0..8   a_k, b_k, c_k per edge (k = edge opposite vertex k, the
+             fp.coverage order): e_k(p) = a_k*px + b_k*py + c_k, exact
+             int32 (c_k = e_k(0,0), |c_k| <= 2*span^2 by the fixedpoint
+             bound; intermediate wraparound is modular-safe)
+      9..11  z0 z1 z2 (f32 bits)
+      12     triangle id
+      13     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
+      14     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
+      15     packed x bbox: (bx0+32768) | (bx1+32768) << 16
+    """
     C = tri.capacity
+    xs = tri.xs
+    ys = tri.ys - yo
+    cols = []
+    of = jnp.zeros((C,), jnp.int32)
+    for k, (i0, i1) in enumerate(((1, 2), (2, 0), (0, 1))):
+        # edge opposite vertex k runs v_{i0} -> v_{i1}
+        a = ys[:, i1] - ys[:, i0]
+        b = xs[:, i0] - xs[:, i1]
+        c = -a * xs[:, i0] - b * ys[:, i0]
+        cols += [a, b, c]
+        tie = (a > 0) | ((a == 0) & (b > 0))
+        of = of | (jnp.where(tie, 0, 1) << k)
     zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
-    tri_ids = jnp.arange(C, dtype=jnp.int32).reshape(C, 1)
-    return jnp.concatenate([tri.xs, tri.ys - yo, zbits, tri_ids], axis=1)
+
+    def bpack(lo, hi):
+        # clamp into i16 range: band/tile windows live in [0, extent*sub],
+        # far inside +-32767, so clamping cannot flip a hit test (a sharded
+        # band's y-translation can push a guard-band bbox past i16)
+        lo = jnp.clip(lo, -_B16, _B16 - 1)
+        hi = jnp.clip(hi, -_B16, _B16 - 1)
+        return ((lo + _B16) & 0xFFFF) | ((hi + _B16) << 16)
+
+    byp = bpack(ys.min(axis=1), ys.max(axis=1))
+    bxp = bpack(xs.min(axis=1), xs.max(axis=1))
+    return jnp.concatenate(
+        [jnp.stack(cols, axis=1), zbits]
+        + [
+            v.reshape(C, 1)
+            for v in (jnp.arange(C, dtype=jnp.int32), of, byp, bxp)
+        ],
+        axis=1,
+    )
 
 
 def gather_field_records(lists, packed, C: int):
     """Gather per-entry record FIELD arrays for an id-list array (padded to
-    a 128 multiple): 10 arrays, z fields bitcast back to f32, id field set
-    to BG for empty slots. The masking/sentinel choices here are semantics-
-    bearing and shared by every kernel that consumes records."""
+    a 128 multiple): NFIELDS arrays, z fields bitcast back to f32, id field
+    set to BG for empty slots. The masking/sentinel choices here are
+    semantics-bearing and shared by every kernel that consumes records."""
     n = lists.shape[-1]
     npad = _pad_to(n, 128)
     if npad != n:
@@ -48,9 +94,9 @@ def gather_field_records(lists, packed, C: int):
     safe = jnp.minimum(lists, C - 1)
     rows = packed[safe]
     empty = (lists >= C)[..., None]
-    rows = jnp.where(empty & (jnp.arange(10) == 9), BG, rows)
-    fields = [rows[..., k] for k in range(10)]
-    for k in (6, 7, 8):
+    rows = jnp.where(empty & (jnp.arange(NFIELDS) == 12), BG, rows)
+    fields = [rows[..., k] for k in range(NFIELDS)]
+    for k in (9, 10, 11):
         fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
     return fields
 
@@ -58,13 +104,22 @@ def gather_field_records(lists, packed, C: int):
 def _raster_scalar_records(
     read, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota,
     *, th: int, tw: int, sub: int, depth_test: bool = True,
+    x_test: bool = False,
 ):
-    """Triangle loop with scalar record reads. `read(field, k)` -> scalar.
+    """Triangle loop with scalar PLANE-FORM record reads (pack_tri_records
+    field map). `read(field, k)` -> scalar.
 
-    Fields 0..9 = x0,x1,x2,y0,y1,y2 (i32), z0,z1,z2 (f32), id (i32).
-    Every triangle gets a scalar tile-x bbox test plus per-row-band bbox
-    predication, so off-tile triangles (e.g. global large-bucket entries)
-    cost only scalar work.
+    The scalar core is the kernel's bottleneck (~1 op/cycle, one loop
+    iteration per record), so per-record derivations (edge coefficients,
+    tie offsets, bbox min/max) arrive precomputed in the record and the
+    loop body is mostly loads. The tie rule is an integer threshold:
+    accept iff e_k >= o_k (o in {0,1}) — exact. area2 = c0+c1+c2 (the edge
+    functions sum to the doubled area everywhere), and its reciprocal is
+    ONE broadcast vector op per record (a scalar f32 divide serializes on
+    the scalar core: +14 ms/frame at 1M-tri scale).
+
+    x_test: scalar tile-x bbox reject, for records not binned to this tile
+    (the global large bucket); binned records always overlap the tile.
 
     depth_test=False is PAINTER'S ORDER: the highest-id covered triangle
     wins (callers init tid to -1 and map -1 -> BG afterwards), exactly the
@@ -78,46 +133,48 @@ def _raster_scalar_records(
     tile_py = tile_i * th * sub + half
 
     def tri_body(k, _):
-        x0 = read(0, k)
-        x1 = read(1, k)
-        x2 = read(2, k)
-        y0 = read(3, k)
-        y1 = read(4, k)
-        y2 = read(5, k)
-        z0 = read(6, k)
-        z1 = read(7, k)
-        z2 = read(8, k)
-        tri_id = read(9, k)
+        a0 = read(0, k)
+        b0 = read(1, k)
+        c0 = read(2, k)
+        a1 = read(3, k)
+        b1 = read(4, k)
+        c1 = read(5, k)
+        a2 = read(6, k)
+        b2 = read(7, k)
+        c2 = read(8, k)
+        z0 = read(9, k)
+        z1 = read(10, k)
+        z2 = read(11, k)
+        tri_id = read(12, k)
+        of = read(13, k)
+        byp = read(14, k)
 
-        a0, b0 = y2 - y1, x1 - x2
-        a1, b1 = y0 - y2, x2 - x0
-        a2, b2 = y1 - y0, x0 - x1
-        t0 = (a0 > 0) | ((a0 == 0) & (b0 > 0))
-        t1 = (a1 > 0) | ((a1 == 0) & (b1 > 0))
-        t2 = (a2 > 0) | ((a2 == 0) & (b2 > 0))
+        o0 = of & 1
+        o1 = (of >> 1) & 1
+        o2 = (of >> 2) & 1
+        by0 = (byp & 0xFFFF) - _B16
+        by1 = ((byp >> 16) & 0xFFFF) - _B16
 
-        bx0 = jnp.minimum(jnp.minimum(x0, x1), x2)
-        bx1 = jnp.maximum(jnp.maximum(x0, x1), x2)
-        by0 = jnp.minimum(jnp.minimum(y0, y1), y2)
-        by1 = jnp.maximum(jnp.maximum(y0, y1), y2)
-        x_overlap = (bx1 >= tile_px0) & (bx0 <= tile_px1)
+        area2 = (c0 + c1) + c2
+        area2v = jnp.full((8, 128), area2.astype(jnp.float32))
+        inv = jnp.where(area2v != 0.0, 1.0 / area2v, 0.0).astype(jnp.float32)
+
+        if x_test:
+            bxp = read(15, k)
+            bx0 = (bxp & 0xFFFF) - _B16
+            bx1 = ((bxp >> 16) & 0xFFFF) - _B16
+            x_overlap = (bx1 >= tile_px0) & (bx0 <= tile_px1)
+        else:
+            x_overlap = True
 
         def band(b):
             py = (sub_iota + tile_i * th + b * 8) * sub + half
 
             def do_band():
-                e0 = a0 * (px - x1) + b0 * (py - y1)
-                e1 = a1 * (px - x2) + b1 * (py - y2)
-                e2 = a2 * (px - x0) + b2 * (py - y0)
-                mask = (
-                    ((e0 > 0) | ((e0 == 0) & t0))
-                    & ((e1 > 0) | ((e1 == 0) & t1))
-                    & ((e2 > 0) | ((e2 == 0) & t2))
-                )
-                area2 = (e0 + e1 + e2).astype(jnp.float32)
-                inv = jnp.where(area2 != 0.0, 1.0 / area2, 0.0).astype(
-                    jnp.float32
-                )
+                e0 = a0 * px + b0 * py + c0
+                e1 = a1 * px + b1 * py + c1
+                e2 = a2 * px + b2 * py + c2
+                mask = (e0 >= o0) & (e1 >= o1) & (e2 >= o2)
                 zf = (
                     e0.astype(jnp.float32) * inv * z0
                     + e1.astype(jnp.float32) * inv * z1
@@ -136,10 +193,13 @@ def _raster_scalar_records(
             band_py0 = tile_py + b * 8 * sub
             band_py1 = band_py0 + 7 * sub
             hit = x_overlap & (by1 >= band_py0) & (by0 <= band_py1)
-
-            @pl.when(hit)
-            def _():
+            if nbands == 1 and not x_test:
+                # binned records always hit their only band
                 do_band()
+            else:
+                @pl.when(hit)
+                def _():
+                    do_band()
 
         for b in range(nbands):
             band(b)
@@ -151,31 +211,28 @@ def _raster_scalar_records(
 def _vis_kernel(
     counts_ref,  # SMEM (ntiles,)
     lcount_ref,  # SMEM (1,)
-    sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid,  # SMEM (1, 1, cap)
-    lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid,  # SMEM (lcap,)
-    tid_ref,
-    zb_ref,
-    *,
+    *refs,  # NFIELDS small windows (1, 1, cap), NFIELDS large (lcap,), outs
     th: int,
     tw: int,
     sub: int,
     ntx: int,
     depth_test: bool = True,
 ):
+    smalls = refs[:NFIELDS]
+    larges = refs[NFIELDS : 2 * NFIELDS]
+    tid_ref, zb_ref = refs[2 * NFIELDS], refs[2 * NFIELDS + 1]
     i = pl.program_id(0)
     j = pl.program_id(1)
     tid_ref[:] = jnp.full((th, tw), BG if depth_test else -1, jnp.int32)
     zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
-    larges = (lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid)
     _raster_scalar_records(
         lambda f, k: larges[f][k],
         lcount_ref[0],
         i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub, depth_test=depth_test,
+        th=th, tw=tw, sub=sub, depth_test=depth_test, x_test=True,
     )
-    smalls = (sx0, sx1, sx2, sy0, sy1, sy2, sz0, sz1, sz2, sid)
     _raster_scalar_records(
         lambda f, k: smalls[f][0, 0, k],
         counts_ref[i * ntx + j],
@@ -221,8 +278,8 @@ def visibility_binned(
     grid_spec = pl.GridSpec(
         grid=(nty, ntx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [small_spec() for _ in range(10)]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(10)],
+        + [small_spec() for _ in range(NFIELDS)]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(NFIELDS)],
         out_specs=[
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),

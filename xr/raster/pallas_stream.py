@@ -39,6 +39,7 @@ from xr.pipeline.geometry import TriBuf
 from xr.raster import common as rc
 from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
 from xr.raster.pallas_smem import (
+    NFIELDS,
     _raster_scalar_records,
     gather_field_records,
     pack_tri_records,
@@ -66,12 +67,9 @@ def _vis_kernel(
     bbase_ref,  # prefetch SMEM (NB,) block -> first record offset in its tile
     counts_ref,  # prefetch SMEM (ntiles,)
     lcount_ref,  # prefetch SMEM (1,)
-    reci_ref,  # SMEM (1, 1, BLK*7) — xs*3, ys*3, id (i32)
+    reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 12..14, record-major
     recf_ref,  # SMEM (1, 1, BLK*3) — z0..z2 (f32)
-    lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid,  # SMEM larges
-    tid_ref,  # out VMEM (TH, TW), block index = this block's tile
-    zb_ref,  # out VMEM (TH, TW)
-    *,
+    *lrefs_and_outs,  # NFIELDS large SMEM refs, then tid_ref, zb_ref (VMEM)
     th: int,
     tw: int,
     sub: int,
@@ -79,6 +77,8 @@ def _vis_kernel(
     blk: int,
     depth_test: bool = True,
 ):
+    larges = lrefs_and_outs[:NFIELDS]
+    tid_ref, zb_ref = lrefs_and_outs[NFIELDS], lrefs_and_outs[NFIELDS + 1]
     b = pl.program_id(0)
     t = bt_ref[b]
     i = t // ntx
@@ -92,24 +92,23 @@ def _vis_kernel(
     def _():
         tid_ref[:] = jnp.full((th, tw), BG if depth_test else -1, jnp.int32)
         zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
-        larges = (lx0, lx1, lx2, ly0, ly1, ly2, lz0, lz1, lz2, lid)
         _raster_scalar_records(
             lambda f, k: larges[f][k],
             lcount_ref[0],
             i, j, zb_ref, tid_ref, sub_iota,
-            th=th, tw=tw, sub=sub, depth_test=depth_test,
+            th=th, tw=tw, sub=sub, depth_test=depth_test, x_test=True,
         )
 
     n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, blk)
 
     def read(f, k):
         # Mosaic has no scalar bitcast, so int and f32 fields arrive in
-        # separate SMEM windows (split from ONE HBM gather on the XLA side)
-        if f in (6, 7, 8):
-            return recf_ref[0, 0, k * 3 + (f - 6)]
-        if f == 9:
-            return reci_ref[0, 0, k * 7 + 6]
-        return reci_ref[0, 0, k * 7 + f]
+        # separate SMEM windows (split from ONE HBM gather on the XLA side);
+        # int fields 0..8 and 12..15 pack record-major into 13 slots
+        if f in (9, 10, 11):
+            return recf_ref[0, 0, k * 3 + (f - 9)]
+        slot = f if f < 9 else f - 3
+        return reci_ref[0, 0, k * 12 + slot]
 
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
@@ -162,14 +161,17 @@ def visibility_binned(
     seg_ok = slot < counts[bt][:, None]
     gidx = jnp.clip(b.starts[bt][:, None] + slot, 0, b.sid.shape[0] - 1)
     ids = jnp.where(seg_ok, b.sid[gidx], C)  # (NB, BLK)
-    rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, 10) — THE gather
+    rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, 16) — THE gather
     rows = jnp.where(
-        (ids >= C)[..., None] & (jnp.arange(10) == 9), BG, rows
+        (ids >= C)[..., None] & (jnp.arange(16) == 12), BG, rows
     )
+    # int fields 0..8 (edge planes) + 12..14 (id, oflags, bypacked),
+    # record-major; field 15 (bxpacked) is skipped — binned records always
+    # overlap their tile in x
     rec_i = jnp.concatenate(
-        [rows[..., 0:6], rows[..., 9:10]], axis=-1
-    ).reshape(NB, 1, BLK * 7)
-    rec_f = jax.lax.bitcast_convert_type(rows[..., 6:9], jnp.float32).reshape(
+        [rows[..., 0:9], rows[..., 12:15]], axis=-1
+    ).reshape(NB, 1, BLK * 12)
+    rec_f = jax.lax.bitcast_convert_type(rows[..., 9:12], jnp.float32).reshape(
         NB, 1, BLK * 3
     )
 
@@ -186,7 +188,7 @@ def visibility_binned(
         grid=(NB,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, BLK * 7),
+                (1, 1, BLK * 12),
                 lambda bi, bt_ref, bb, cn, lc: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
@@ -196,7 +198,7 @@ def visibility_binned(
                 memory_space=pltpu.SMEM,
             ),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(10)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(NFIELDS)],
         out_specs=[
             pl.BlockSpec(
                 (TH, TW),

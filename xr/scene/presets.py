@@ -166,7 +166,7 @@ def config3_terrain(nx: int = 224, nz: int = 224) -> Preset:
 
     cfg = RenderConfig(width=1920, height=1080, mode=MODE_TEXTURED,
                        tile_h=32, tile_w=128, bin_capacity=3072,
-                       clip_budget=1024, clip_expand=0.55,
+                       clip_budget=1024, clip_expand=0.50,
                        stream_expand=1.3, stream_block=128)
     return Preset("config3_terrain", scene, animate, cfg)
 
