@@ -371,6 +371,10 @@ def config6_asset(assets_dir: str = None) -> Preset:
     cfg = RenderConfig(
         width=1920, height=1080, mode=MODE_PHONG, shadow_map_size=1024,
         tile_h=32, tile_w=128, bin_capacity=8192, clip_budget=4096,
+        # the LIGHT-view depth pre-pass re-bins the scene at shadow-map
+        # resolution, where more courtyard walls span >2x2 tiles: the
+        # default large bucket (1024) dropped ~7 tris per frame at 1080p
+        large_capacity=4096,
         clip_expand=1.0, stream_expand=1.5, stream_block=256,
     )
     return Preset("config6_asset", scene, animate, cfg)
