@@ -1,15 +1,22 @@
-"""Shader hot-reload demo (the reference's HLSL file-watch -> PSO rebuild,
+"""Shader hot-reload (the reference's HLSL file-watch -> PSO rebuild,
 SURVEY.md §3.4). Watches a Python "shader" file defining `shade(...)`,
-re-imports it on change, re-jits the frame program (the PSO rebuild), and
-re-renders a preview PNG. Compile errors keep the previous shader, exactly
-like the reference's behavior.
+re-imports it on change, re-jits the frame program through the renderer's
+first-class `shade_hook` stage (the PSO rebuild), and re-renders a preview
+PNG. Compile errors keep the previous shader, exactly like the reference's
+behavior.
+
+Works on ANY preset and shading mode — the hook is the custom pixel-shader
+stage of `render_step` (xr/app/renderer.py), applied to the pre-background
+linear color with per-pixel material ids where the mode has them.
 
 Usage:
-  python examples/watch.py --shader my_shader.py --out /tmp/preview.png
+  python examples/watch.py --preset config3 --shader my_shader.py \\
+      --out /tmp/preview.png
 
 The shader file must define:
-  def shade(attrs, mats, mat_id, lights):  # -> (N, 3) f32 color
-with attrs being the Gouraud-interpolated per-pixel rgb (N, 3).
+  def shade(color, scene, mat_id, xp):  # -> (N, 3) f32 linear color
+with color (N, 3) the pipeline's shaded output, mat_id (N,) int32 per-pixel
+material indices (None in flat/Gouraud modes), and xp = jax.numpy.
 A starter file is written if --shader doesn't exist.
 """
 
@@ -25,13 +32,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
 
-STARTER = '''import jax.numpy as jnp
+STARTER = '''def shade(color, scene, mat_id, xp):
+    """Edit me and save — the frame re-renders automatically.
 
-
-def shade(rgb, mats, mat_id, lights):
-    """Edit me and save — the frame re-renders automatically."""
-    # e.g. try: return rgb[..., ::-1]   (swap channels)
-    return rgb
+    color: (N, 3) f32 linear pipeline output; scene: the Scene pytree;
+    mat_id: (N,) i32 per-pixel material index or None; xp: jax.numpy.
+    """
+    # Try e.g.:
+    #   return color[..., ::-1]                      # swap channels
+    #   return color ** 2.2                          # crush gamma
+    #   g = color.mean(-1, keepdims=True); return g  # grayscale
+    return color
 '''
 
 
@@ -44,8 +55,12 @@ def load_shader(path):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="config2")
     ap.add_argument("--shader", default="/tmp/xr_shader.py")
     ap.add_argument("--out", default="/tmp/xr_preview.png")
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=270)
+    ap.add_argument("--t", type=float, default=0.4, help="animation time")
     ap.add_argument("--poll", type=float, default=0.5)
     ap.add_argument("--once", action="store_true", help="render once and exit")
     args = ap.parse_args()
@@ -62,43 +77,25 @@ def main():
 
     apply_platform_env()
 
-    from xr.scene.presets import config2_icospheres, small_preset
-    from xr.app.renderer import render_step
-    from xr.pipeline.geometry import clip_capacity
+    from xr.app.renderer import Renderer
     from xr.core.image import write_png
-    import xr.shading.deferred as deferred
+    from xr.scene.presets import ALL_PRESETS, small_preset
 
-    p = small_preset(config2_icospheres(), 480, 270, bin_capacity=8192)
+    p = small_preset(
+        ALL_PRESETS[args.preset](), args.width, args.height, bin_capacity=8192
+    )
     scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
-    cam, mm = p.animate(0.4, jnp)
+    cam, mm = p.animate(args.t, jnp)
     scene = scene.replace(model_matrices=mm)
-    cap = clip_capacity(scene.mesh.num_triangles, p.config)
 
     def render_with(user_shade):
-        # monkey-patch the gouraud output through the user shader; a fresh
-        # jit trace picks it up (the "PSO rebuild")
-        orig = deferred._with_bg
-
-        def patched(color, bg, config, xp):
-            if color.shape[-1] == 3 and xp is jnp:
-                color = user_shade(
-                    color, scene.materials, None, scene.lights
-                )
-            return orig(color, bg, config, xp)
-
-        deferred._with_bg = patched
-        try:
-            step = jax.jit(
-                lambda s, c: render_step(s, c, config=p.config, capacity=cap)
-            )
-            frame = step(scene, cam)
-            col = np.asarray(frame.color)
-        finally:
-            deferred._with_bg = orig
-        return col
+        # a fresh Renderer re-jits the frame program with the new hook
+        # traced in — the reference's "rebuild dependent PSOs" step
+        r = Renderer(scene, p.config, shade_hook=user_shade)
+        frame = r.readback(r.step(scene, cam))
+        return frame.color
 
     mtime = 0.0
-    shade_fn = None
     while True:
         m = os.path.getmtime(args.shader)
         if m != mtime:
@@ -107,10 +104,10 @@ def main():
                 shade_fn = load_shader(args.shader)
                 t0 = time.time()
                 col = render_with(shade_fn)
-                write_png(args.out, col)
+                write_png(args.out, np.asarray(col))
                 print(
                     f"[{time.strftime('%H:%M:%S')}] reloaded {args.shader} "
-                    f"-> {args.out} ({time.time()-t0:.1f}s)"
+                    f"({args.preset}) -> {args.out} ({time.time()-t0:.1f}s)"
                 )
             except Exception:
                 print("shader error — keeping previous pipeline:")

@@ -116,3 +116,50 @@ def test_clip_budget_overflow_is_loud():
             r.readback(f)
     else:
         pytest.skip("scene did not overflow the clip budget")
+
+
+def test_shade_hook_custom_pixel_stage():
+    """The shade_hook custom pixel-shader stage (render_step): applied to
+    the pre-background linear color, traced into the frame program, and
+    identical between the device pipeline and the CPU oracle (the hook is
+    the reference's editable-HLSL analog, SURVEY.md §3.4)."""
+    from xr.app.renderer import Renderer
+    from xr.cpu_ref import render_frame
+    from xr.scene.presets import config3_terrain, small_preset
+
+    p = small_preset(config3_terrain(nx=16, nz=16), 96, 64)
+    cam, mm = p.animate(0.6, np)
+    scene = p.scene.replace(model_matrices=mm)
+
+    def hook(color, scene_, mat_id, xp):
+        assert mat_id is not None  # textured mode has per-pixel materials
+        return color[..., ::-1] * 0.5  # swap channels, darken
+
+    plain = Renderer(scene, p.config).readback(
+        Renderer(scene, p.config).step(scene, cam)
+    )
+    hooked = Renderer(scene, p.config, shade_hook=hook).readback(
+        Renderer(scene, p.config, shade_hook=hook).step(scene, cam)
+    )
+    # covered pixels: hooked == post-processed plain (up to u8 rounding);
+    # exclude pixels the plain render clipped at 255 (their pre-resolve
+    # linear value is unrecoverable from the u8 output)
+    cov = (np.asarray(plain.depth) < 1.0) & (
+        np.asarray(plain.color) < 255
+    ).all(-1)
+    want = np.floor(
+        np.clip(np.asarray(plain.color)[..., ::-1] / 255.0 * 0.5, 0, 1) * 255.0
+        + 0.5
+    )
+    got = np.asarray(hooked.color).astype(np.float64)
+    assert np.abs(got[cov] - want[cov]).max() <= 1.0
+    # background unchanged (the hook applies pre-background only)
+    bg = np.asarray(plain.depth) >= 1.0
+    assert (np.asarray(hooked.color)[bg] == np.asarray(plain.color)[bg]).all()
+
+    # oracle parity with the same hook
+    of = render_frame(scene, cam, p.config, shade_hook=hook)
+    diff = np.abs(
+        np.asarray(of.color).astype(int) - np.asarray(hooked.color).astype(int)
+    ).max()
+    assert diff <= 1

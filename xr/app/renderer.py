@@ -54,11 +54,20 @@ def render_step(
     light_view=None,
     light_proj=None,
     capacity: Optional[int] = None,
+    shade_hook=None,
 ) -> Frame:
     """Pure-function frame step (trace-time metaprogram; jit via Renderer).
 
     light_view/light_proj: host-computed shadow matrices (xr/pipeline/shadow)
     required when config.mode == MODE_PHONG and config.shadow_map_size > 0.
+
+    shade_hook: optional custom pixel-shader stage — the analog of editing
+    the reference's HLSL pixel shader (SURVEY.md §3.4). Called as
+    `hook(color, scene, mat_id, xp)` with the (N, 3) linear pre-resolve
+    color of every covered pixel (mat_id is the (N,) per-pixel material
+    index, or None in flat/Gouraud modes); must return (N, 3). Traced into
+    the frame program, so swapping the hook and re-jitting IS the
+    reference's PSO rebuild (examples/watch.py drives this live).
     """
     cap = capacity or clip_capacity(scene.mesh.num_triangles, config)
     aspect = config.width / config.height
@@ -114,6 +123,7 @@ def render_step(
         shadow_depth=shadow_depth,
         light_viewproj=light_viewproj,
         xp=jnp,
+        shade_hook=shade_hook,
     )
     return Frame(color=sm.resolve_u8(rgb, jnp), depth=depth, stats=stats)
 
@@ -126,7 +136,7 @@ class Renderer:
     construction (host-side) — pass `light_matrices` to override per frame.
     """
 
-    def __init__(self, scene: Scene, config: RenderConfig):
+    def __init__(self, scene: Scene, config: RenderConfig, shade_hook=None):
         self.config = config
         self.capacity = clip_capacity(scene.mesh.num_triangles, config)
         self._light = None
@@ -134,7 +144,8 @@ class Renderer:
             self._light = light_matrices_for_scene(scene)
         self._step = jax.jit(
             functools.partial(
-                render_step, config=config, capacity=self.capacity
+                render_step, config=config, capacity=self.capacity,
+                shade_hook=shade_hook,
             )
         )
 

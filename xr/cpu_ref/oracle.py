@@ -87,9 +87,11 @@ def render_frame(
     camera,
     config: RenderConfig,
     model_time: Optional[float] = None,
+    shade_hook=None,
 ) -> Frame:
     """Render one frame with the CPU oracle. Two-pass when shadow-mapped
     Phong is configured (config 4's depth pass + main pass, BASELINE.json:10).
+    shade_hook: the same custom pixel-shader stage render_step accepts.
     """
     aspect = config.width / config.height
     view, proj = m3.camera_matrices(camera, aspect, np)
@@ -138,6 +140,7 @@ def render_frame(
         shadow_depth=shadow_depth,
         light_viewproj=light_viewproj,
         xp=np,
+        shade_hook=shade_hook,
     )
     color = sm.resolve_u8(rgb, np)
     return Frame(color=color, depth=depth, stats=stats)

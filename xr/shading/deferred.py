@@ -44,6 +44,7 @@ def shade_deferred(
     py=None,
     y_offset: int = 0,
     xp=np,
+    shade_hook=None,
 ):
     """Shade a visibility buffer into (H, W, 3) f32 linear color.
 
@@ -51,6 +52,9 @@ def shade_deferred(
     Internally shades flat (H*W,) pixel vectors (layout-friendly gathers).
     px, py: optional precomputed fixed-point pixel grids; y_offset shifts the
     pixel rows for sharded framebuffer bands (SURVEY.md §5.8).
+    shade_hook: optional `hook(color, scene, mat_id, xp) -> (N, 3)` custom
+    pixel-shader stage applied to the pre-background linear color (the
+    reference's editable-HLSL analog; see render_step).
     """
     if config.mode == MODE_DEPTH_ONLY:
         raise ValueError("depth-only pass has no shading")
@@ -68,12 +72,17 @@ def shade_deferred(
     def out(color_flat):
         return color_flat.reshape(H, W, 3)
 
+    def finish(color, mat_id=None):
+        if shade_hook is not None:
+            color = shade_hook(color, scene, mat_id, xp)
+        return out(_with_bg(color, bg, config, xp))
+
     bg = tid == BG_TRI_ID
     t = xp.where(bg, 0, tid)
 
     if config.mode == MODE_FLAT:
         color = tri.face_rgb[t]
-        return out(_with_bg(color, bg, config, xp))
+        return finish(color)
 
     # ONE wide-row gather for all per-pixel triangle data. TPU gather cost
     # is set by the lane-PADDED {1,0:T(8,128)} materialization of the
@@ -121,7 +130,7 @@ def shade_deferred(
 
     if config.mode == MODE_GOURAUD:
         rgb = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
-        return out(_with_bg(rgb, bg, config, xp))
+        return finish(rgb)
 
     mat_id = _bits_to_i32(rec[..., 6], xp)
     mats = scene.materials
@@ -134,7 +143,7 @@ def shade_deferred(
         texc = _sample_texture(
             scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
         )
-        return out(_with_bg(texc * lit, bg, config, xp))
+        return finish(texc * lit, mat_id)
 
     assert config.mode == MODE_PHONG
     world = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
@@ -168,7 +177,7 @@ def shade_deferred(
         shadow_factor=shadow,
         xp=xp,
     )
-    return out(_with_bg(color, bg, config, xp))
+    return finish(color, mat_id)
 
 
 def _is_np(xp) -> bool:
