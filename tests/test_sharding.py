@@ -66,3 +66,25 @@ def test_sharded_pallas_stream_interpret():
     assert int(fn.stats["bin_overflow"]) == 0
     assert (np.asarray(fn.color) == f1.color).all()
     assert (np.asarray(fn.depth) == f1.depth).all()
+
+
+def test_sharded_shade_hook_parity():
+    """The custom pixel-shader stage (shade_hook) composes with band
+    sharding: sharded hooked frame == single-device hooked frame."""
+
+    def hook(color, scene_, mat_id, xp):
+        return color[..., ::-1]
+
+    p = small_preset(
+        config2_icospheres(), 96, 64, tile_h=16, tile_w=32, bin_capacity=8192
+    )
+    cam, mm = p.animate(0.2, np)
+    scene = p.scene.replace(model_matrices=mm)
+    cfg1 = dataclasses.replace(p.config, num_shards=1, raster_path="binned")
+    cfgn = dataclasses.replace(p.config, num_shards=4, raster_path="binned")
+    single = Renderer(scene, cfg1, shade_hook=hook)
+    f1 = single.readback(single.step(scene, cam))
+    multi = ShardedRenderer(scene, cfgn, shade_hook=hook)
+    fn = multi.step(scene, cam)
+    assert (np.asarray(fn.color) == f1.color).all()
+    assert (np.asarray(fn.depth) == f1.depth).all()

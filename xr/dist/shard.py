@@ -58,6 +58,7 @@ def render_step_sharded(
     light_view=None,
     light_proj=None,
     capacity: Optional[int] = None,
+    shade_hook=None,
 ) -> Frame:
     """Render one frame sharded into horizontal bands across `mesh`.
 
@@ -126,6 +127,7 @@ def render_step_sharded(
                 light_viewproj=light_viewproj,
                 y_offset=y_off,
                 xp=jnp,
+                shade_hook=shade_hook,
             )
             color = sm.resolve_u8(rgb, jnp)
 
@@ -169,7 +171,8 @@ def render_step_sharded(
 class ShardedRenderer:
     """Multi-chip counterpart of xr.app.Renderer (config 5)."""
 
-    def __init__(self, scene: Scene, config: RenderConfig, devices=None):
+    def __init__(self, scene: Scene, config: RenderConfig, devices=None,
+                 shade_hook=None):
         from xr.pipeline.shadow import light_matrices_for_scene
 
         self.config = config
@@ -184,6 +187,7 @@ class ShardedRenderer:
                 config=config,
                 mesh=self.mesh,
                 capacity=self.capacity,
+                shade_hook=shade_hook,
             )
         )
 
