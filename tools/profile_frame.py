@@ -21,7 +21,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(preset_name: str, frames: int, outdir: str):
+def _parse_override(kv: str):
+    k, v = kv.split("=", 1)
+    for conv in (int, float):
+        try:
+            return k, conv(v)
+        except ValueError:
+            pass
+    if v in ("True", "False"):
+        return k, v == "True"
+    return k, v
+
+
+def capture(preset_name: str, frames: int, outdir: str, overrides=()):
+    import dataclasses
     import functools
 
     import jax
@@ -38,6 +51,10 @@ def capture(preset_name: str, frames: int, outdir: str):
     from xr.scene import presets
 
     p = presets.ALL_PRESETS[preset_name]()
+    if overrides:
+        p = p._replace(
+            config=dataclasses.replace(p.config, **dict(overrides))
+        )
     scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
     cap = clip_capacity(scene.mesh.num_triangles, p.config)
 
@@ -145,10 +162,16 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/xr_prof")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument(
+        "--override", action="append", default=[],
+        help="RenderConfig override key=value (repeatable), e.g. "
+        "--override deferred_fetch=fields",
+    )
     args = ap.parse_args()
 
     if not args.parse_only:
-        capture(args.preset, args.frames, args.out)
+        capture(args.preset, args.frames, args.out,
+                overrides=[_parse_override(o) for o in args.override])
     parse(args.out, args.frames, args.top)
 
 

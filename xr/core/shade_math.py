@@ -128,11 +128,13 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size: int, xp=np):
     return (0.5 * (xp.log(rho2) * (1.0 / np.log(2.0)))).astype(xp.float32)
 
 
-def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
+def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide"):
     """Perspective-correct trilinear texture sample.
 
     pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
     repeat-wrapped); lod (...,) f32. Returns (..., 3) f32.
+    fetch: "wide" (one 13-col row gather per pixel) or "fields" (13 dense
+    per-column gathers; bit-identical — RenderConfig.tex_fetch).
 
     Implementation: sample BOTH bracketing mip levels for every pixel by
     gathering from the flattened QUAD pyramid (one gather fetches the whole
@@ -191,10 +193,19 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     # (A transposed (13, Ntex*P) column gather was also tried: XLA lowers it
     # to per-field slice-reduce ops, 10x slower — see PERF.md round 2.)
     P = pyramid.quads.shape[1]
-    flat_q = pyramid.quads.reshape(-1, pyramid.quads.shape[-1])
-    row = flat_q[
-        tex_id * P + offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
-    ]  # (..., 13)
+    K = pyramid.quads.shape[-1]
+    flat_q = pyramid.quads.reshape(-1, K)
+    qidx = tex_id * P + offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
+    if fetch == "fields":
+        qcols = [flat_q[:, c] for c in range(K)]
+
+        def rowc(c):
+            return qcols[c][qidx]
+    else:
+        row = flat_q[qidx]  # (..., 13)
+
+        def rowc(c):
+            return row[..., c]
 
     # parent level: 3x3 block anchored at (j0//2 - 1, i0//2 - 1); the true
     # bilinear anchor (i1, j1) is inside it with relative offset in {0, 1}
@@ -211,8 +222,8 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     def parent_q(r, c):
         # texel (dj+r, di+c) of the 3x3 block: channels 4 + 3*(dj+r)+(di+c)
         base_idx = 4 + 3 * r + c
-        a = xp.where(di1, row[..., base_idx + 1], row[..., base_idx])
-        b = xp.where(di1, row[..., base_idx + 4], row[..., base_idx + 3])
+        a = xp.where(di1, rowc(base_idx + 1), rowc(base_idx))
+        b = xp.where(di1, rowc(base_idx + 4), rowc(base_idx + 3))
         return xp.where(dj1, b, a)
 
     p00 = parent_q(0, 0)
@@ -223,8 +234,8 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np):
     chans = []
     for shift in (0, 8, 16):
         c0 = bilerp_ch(
-            unpack_ch(row[..., 0], shift), unpack_ch(row[..., 1], shift),
-            unpack_ch(row[..., 2], shift), unpack_ch(row[..., 3], shift),
+            unpack_ch(rowc(0), shift), unpack_ch(rowc(1), shift),
+            unpack_ch(rowc(2), shift), unpack_ch(rowc(3), shift),
             fu0, fv0,
         )
         c1 = bilerp_ch(

@@ -123,6 +123,18 @@ class RenderConfig:
     # "binned" (tile lists), or "auto" (brute below 2048 setup tris).
     raster_path: str = "auto"
 
+    # Per-pixel record fetch strategy in the deferred pass: "wide" gathers
+    # ONE (C, K) record row per pixel (output is lane-padded {1,0:T(8,128)},
+    # plus one {0,1} relayout copy for the column consumers); "fields"
+    # gathers each field from its own dense (C,) column array (dense (N,)
+    # outputs, no relayout — but one gather op per field). Bit-identical
+    # results; which is faster is scale-dependent (PERF.md round 3).
+    deferred_fetch: str = "wide"
+
+    # Texture quad fetch strategy (same trade-off as deferred_fetch, for the
+    # (Ntex*P, 13) bilinear-quad table in sample_trilinear).
+    tex_fetch: str = "wide"
+
     # Shadow mapping (MODE_PHONG only).
     shadow_map_size: int = 0  # 0 => no shadow pass
     shadow_bias: float = 2e-3

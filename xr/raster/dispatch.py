@@ -28,8 +28,10 @@ def _pad128(n: int) -> int:
 
 def _smem_bytes(config: RenderConfig) -> int:
     """SMEM footprint of the pallas_smem kernel's record windows."""
-    small = 16 * 4 * _pad128(config.bin_capacity) * 2  # double-buffered
-    large = 16 * 4 * _pad128(config.large_capacity)
+    from xr.raster.pallas_smem import NFIELDS
+
+    small = NFIELDS * 4 * _pad128(config.bin_capacity) * 2  # double-buffered
+    large = NFIELDS * 4 * _pad128(config.large_capacity)
     return small + large
 
 

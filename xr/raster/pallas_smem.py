@@ -27,7 +27,7 @@ from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
 BG = rc.BG_TRI_ID
 
 
-NFIELDS = 16  # record width; see pack_tri_records
+NFIELDS = 17  # record width; see pack_tri_records
 _B16 = 32768  # bias packing signed 16-bit bbox coords into u16 halves
 
 
@@ -45,6 +45,10 @@ def pack_tri_records(tri: TriBuf, yo):
       13     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
       14     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
       15     packed x bbox: (bx0+32768) | (bx1+32768) << 16
+      16     z_min = min(z0, z1, z2) (f32 bits) — occlusion early-out: a
+             record whose nearest vertex is strictly behind every pixel of
+             the tile's current z-buffer cannot win any (z, id) lex-min
+             test, so the kernels skip its band loop entirely
     """
     C = tri.capacity
     xs = tri.xs
@@ -71,11 +75,12 @@ def pack_tri_records(tri: TriBuf, yo):
 
     byp = bpack(ys.min(axis=1), ys.max(axis=1))
     bxp = bpack(xs.min(axis=1), xs.max(axis=1))
+    zminb = jax.lax.bitcast_convert_type(tri.z.min(axis=1), jnp.int32)
     return jnp.concatenate(
         [jnp.stack(cols, axis=1), zbits]
         + [
             v.reshape(C, 1)
-            for v in (jnp.arange(C, dtype=jnp.int32), of, byp, bxp)
+            for v in (jnp.arange(C, dtype=jnp.int32), of, byp, bxp, zminb)
         ],
         axis=1,
     )
@@ -96,7 +101,7 @@ def gather_field_records(lists, packed, C: int):
     empty = (lists >= C)[..., None]
     rows = jnp.where(empty & (jnp.arange(NFIELDS) == 12), BG, rows)
     fields = [rows[..., k] for k in range(NFIELDS)]
-    for k in (9, 10, 11):
+    for k in (9, 10, 11, 16):
         fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
     return fields
 
@@ -104,7 +109,7 @@ def gather_field_records(lists, packed, C: int):
 def _raster_scalar_records(
     read, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota,
     *, th: int, tw: int, sub: int, depth_test: bool = True,
-    x_test: bool = False,
+    x_test: bool = False, zmax=None,
 ):
     """Triangle loop with scalar PLANE-FORM record reads (pack_tri_records
     field map). `read(field, k)` -> scalar.
@@ -123,7 +128,14 @@ def _raster_scalar_records(
 
     depth_test=False is PAINTER'S ORDER: the highest-id covered triangle
     wins (callers init tid to -1 and map -1 -> BG afterwards), exactly the
-    jnp backend's fold (SURVEY.md §2.1 "Pipeline state")."""
+    jnp backend's fold (SURVEY.md §2.1 "Pipeline state").
+
+    zmax: optional SCALAR occlusion bound — an upper bound of the tile's
+    current z-buffer max (the caller recomputes it at block granularity;
+    zb only ever decreases, so a stale bound stays valid). A record with
+    z_min > zmax has zf >= z_min > zmax >= zb at every pixel, so the
+    strict (z, id) lex-min test cannot accept it and the whole band loop
+    is skipped behind one scalar compare. Only sound with depth_test."""
     half = sub // 2
     nbands = th // 8
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -133,6 +145,17 @@ def _raster_scalar_records(
     tile_py = tile_i * th * sub + half
 
     def tri_body(k, _):
+        if zmax is not None:
+            assert depth_test, "z early-out requires depth testing"
+
+            @pl.when(read(16, k) <= zmax)
+            def _():
+                tri_work(k)
+            return 0
+        tri_work(k)
+        return 0
+
+    def tri_work(k):
         a0 = read(0, k)
         b0 = read(1, k)
         c0 = read(2, k)

@@ -68,7 +68,7 @@ def _vis_kernel(
     counts_ref,  # prefetch SMEM (ntiles,)
     lcount_ref,  # prefetch SMEM (1,)
     reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 12..14, record-major
-    recf_ref,  # SMEM (1, 1, BLK*3) — z0..z2 (f32)
+    recf_ref,  # SMEM (1, 1, BLK*4) — z0..z2, z_min (f32)
     *lrefs_and_outs,  # NFIELDS large SMEM refs, then tid_ref, zb_ref (VMEM)
     th: int,
     tw: int,
@@ -104,15 +104,25 @@ def _vis_kernel(
     def read(f, k):
         # Mosaic has no scalar bitcast, so int and f32 fields arrive in
         # separate SMEM windows (split from ONE HBM gather on the XLA side);
-        # int fields 0..8 and 12..15 pack record-major into 13 slots
-        if f in (9, 10, 11):
-            return recf_ref[0, 0, k * 3 + (f - 9)]
+        # int fields 0..8 and 12..14 pack record-major into 12 slots.
+        # Field 15 (bxpacked) is NOT packed — binned records always overlap
+        # their tile in x, so only the large-bucket path (full-field SMEM
+        # arrays) ever reads it.
+        assert f != 15, "bxpacked is not packed into the stream records"
+        if f in (9, 10, 11, 16):
+            return recf_ref[0, 0, k * 4 + (3 if f == 16 else f - 9)]
         slot = f if f < 9 else f - 3
         return reci_ref[0, 0, k * 12 + slot]
 
+    # Occlusion bound for the early-out (see _raster_scalar_records): an
+    # upper bound of the tile's current max z, recomputed once per BLOCK
+    # (zb only decreases, so staleness within a block stays conservative).
+    # The bound is +inf until every pixel of the tile is covered.
+    zmax = jnp.max(zb_ref[:]) if depth_test else None
+
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
-        th=th, tw=tw, sub=sub, depth_test=depth_test,
+        th=th, tw=tw, sub=sub, depth_test=depth_test, zmax=zmax,
     )
 
 
@@ -167,19 +177,21 @@ def visibility_binned(
     rows2 = sidp[gidx >> 1]  # (NB, BLK, 2)
     picked = jnp.where((gidx & 1) == 1, rows2[..., 1], rows2[..., 0])
     ids = jnp.where(seg_ok, picked, C)  # (NB, BLK)
-    rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, 16) — THE gather
+    rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, NFIELDS) — THE gather
     rows = jnp.where(
-        (ids >= C)[..., None] & (jnp.arange(16) == 12), BG, rows
+        (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 12), BG, rows
     )
     # int fields 0..8 (edge planes) + 12..14 (id, oflags, bypacked),
-    # record-major; field 15 (bxpacked) is skipped — binned records always
-    # overlap their tile in x
+    # record-major, 12 slots; field 15 (bxpacked) is skipped — binned
+    # records always overlap their tile in x
     rec_i = jnp.concatenate(
         [rows[..., 0:9], rows[..., 12:15]], axis=-1
     ).reshape(NB, 1, BLK * 12)
-    rec_f = jax.lax.bitcast_convert_type(rows[..., 9:12], jnp.float32).reshape(
-        NB, 1, BLK * 3
-    )
+    # f32 fields z0 z1 z2 z_min, record-major, 4 slots
+    rec_f = jax.lax.bitcast_convert_type(
+        jnp.concatenate([rows[..., 9:12], rows[..., 16:17]], axis=-1),
+        jnp.float32,
+    ).reshape(NB, 1, BLK * 4)
 
     # ---- large bucket (shared by all tiles) ------------------------------
     large = gather_field_records(b.large_ids, packed, C)
@@ -199,7 +211,7 @@ def visibility_binned(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, BLK * 3),
+                (1, 1, BLK * 4),
                 lambda bi, bt_ref, bb, cn, lc: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),

@@ -84,15 +84,16 @@ def shade_deferred(
         color = tri.face_rgb[t]
         return finish(color)
 
-    # ONE wide-row gather for all per-pixel triangle data. TPU gather cost
-    # is set by the lane-PADDED {1,0:T(8,128)} materialization of the
-    # output (K of 128 lanes used), so a 31-col gather costs the same as a
-    # 13-col one (per-op traces: 13/18/31-col all ~3.7 ms at 1080p) — the
-    # merge over the previous geo+attr table pair saves a full gather and a
-    # relayout copy. Every consumer below is a COLUMN slice (XLA inserts
-    # one {0,1} relayout, then slices are contiguous); per-field gathers
-    # (7 ns/element) and an explicit transpose (per-row slice_reduce
-    # fusions) were both measured far slower — PERF.md round 2.
+    # Per-pixel record fetch. Two bit-identical strategies (PERF.md r2/r3):
+    #   "wide": ONE wide-row gather for all per-pixel triangle data. TPU
+    #     gather cost is set by the lane-PADDED {1,0:T(8,128)}
+    #     materialization of the output (K of 128 lanes used), so a 31-col
+    #     gather costs the same as a 13-col one (per-op traces: 13/18/31-col
+    #     all ~3.7 ms at 1080p). Every consumer below is a COLUMN slice
+    #     (XLA inserts one {0,1} relayout, then slices are contiguous).
+    #   "fields": one gather per FIELD from its own dense (C,) column
+    #     array — dense (N,) outputs, no padded materialization, no
+    #     relayout copy; the gathers fuse into the consuming VPU math.
     A = config.attr_width
     uv_slot = None
     if scene.textures is not None and scene.textures.num_levels > 0:
@@ -100,27 +101,69 @@ def shade_deferred(
             uv_slot = 0
         elif config.mode == MODE_PHONG:
             uv_slot = 6
-    table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
-    rec = table[t]  # (H*W, K) — ONE gather; XLA inserts one {0,1} relayout
-    xs = _bits_to_i32(rec[..., 0:3], xp)
-    ys = _bits_to_i32(rec[..., 3:6], xp)
 
-    _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
-    l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
+    if config.deferred_fetch == "fields":
+        # integer edge values straight from gathered vertex columns — the
+        # exact same int32 expressions as fp.coverage on (N, 3) rows
+        xg = [tri.xs[:, i][t] for i in range(3)]
+        yg = [tri.ys[:, i][t] for i in range(3)]
 
-    # perspective-correct interpolation with EXPLICIT per-column math:
-    # raw_j = (l0*a0j + l1*a1j) + l2*a2j — the same product set and
-    # left-associated add order as a sum(lam[..., None] * attr_w, axis=-2)
-    # over (N, 3, A+1), so results are bit-identical, but every consumer is
-    # a cheap column slice of the one relayouted record (no (N, 3, A+1)
-    # reshape materialization, ~0.9 ms at 1080p).
-    att0 = lod_base + (6 if uv_slot is not None else 0)
+        def edge(k):
+            k1 = (k + 1) % 3
+            a = yg[k1] - yg[k]
+            b = xg[k] - xg[k1]
+            return a * (px - xg[k]) + b * (py - yg[k])
 
-    def interp(g):  # vertex-major group of 3 columns at att0 + 3*g
-        c = att0 + 3 * g
-        return (
-            l0 * rec[..., c] + l1 * rec[..., c + 1]
-        ) + l2 * rec[..., c + 2]
+        # e_k is the edge value OPPOSITE vertex k (fp.coverage order)
+        e0, e1, e2 = edge(1), edge(2), edge(0)
+        l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
+
+        def interp(g):  # same product set / add order as the wide path
+            if g < A:
+                cs = [tri.attr_w[:, v, g] for v in range(3)]
+            else:
+                cs = [tri.inv_w[:, v] for v in range(3)]
+            return (l0 * cs[0][t] + l1 * cs[1][t]) + l2 * cs[2][t]
+
+        def fetch_mat():
+            return tri.mat_id[t]
+
+        lod6 = (
+            tuple(c[t] for c in _lod_terms(tri, uv_slot, config, xp))
+            if uv_slot is not None
+            else None
+        )
+    else:
+        table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
+        rec = table[t]  # (H*W, K) — ONE gather + one {0,1} relayout
+        xs = _bits_to_i32(rec[..., 0:3], xp)
+        ys = _bits_to_i32(rec[..., 3:6], xp)
+
+        _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
+        l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
+
+        # perspective-correct interpolation with EXPLICIT per-column math:
+        # raw_j = (l0*a0j + l1*a1j) + l2*a2j — the same product set and
+        # left-associated add order as a sum(lam[..., None] * attr_w,
+        # axis=-2) over (N, 3, A+1), so results are bit-identical, but
+        # every consumer is a cheap column slice of the one relayouted
+        # record (no (N, 3, A+1) reshape materialization, ~0.9 ms at 1080p).
+        att0 = lod_base + (6 if uv_slot is not None else 0)
+
+        def interp(g):  # vertex-major group of 3 columns at att0 + 3*g
+            c = att0 + 3 * g
+            return (
+                l0 * rec[..., c] + l1 * rec[..., c + 1]
+            ) + l2 * rec[..., c + 2]
+
+        def fetch_mat():
+            return _bits_to_i32(rec[..., 6], xp)
+
+        lod6 = (
+            tuple(rec[..., lod_base + i] for i in range(6))
+            if uv_slot is not None
+            else None
+        )
 
     denom = interp(A)  # interpolated 1/w (last group)
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
@@ -132,10 +175,8 @@ def shade_deferred(
         rgb = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
         return finish(rgb)
 
-    mat_id = _bits_to_i32(rec[..., 6], xp)
+    mat_id = fetch_mat()
     mats = scene.materials
-
-    lod6 = rec[..., lod_base : lod_base + 6] if uv_slot is not None else None
 
     if config.mode == MODE_TEXTURED:
         u, v = attr(0), attr(1)
@@ -217,22 +258,7 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
         _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
     ]
     if uv_slot is not None:
-        sub = float(config.subpixel)
-        a, b = fp.edge_coeffs(tri.xs, tri.ys, xp)  # (C, 3) exact ints
-        # edge OPPOSITE vertex k is edge index (k+1) % 3 (fixedpoint.coverage)
-        a_opp = xp.stack([a[:, 1], a[:, 2], a[:, 0]], axis=-1).astype(xp.float32)
-        b_opp = xp.stack([b[:, 1], b[:, 2], b[:, 0]], axis=-1).astype(xp.float32)
-        uw = tri.attr_w[:, :, uv_slot]
-        vw = tri.attr_w[:, :, uv_slot + 1]
-        iw = tri.inv_w
-        terms = [
-            (a_opp * iw).sum(-1) * sub,  # dD/dx
-            (b_opp * iw).sum(-1) * sub,  # dD/dy
-            (a_opp * uw).sum(-1) * sub,  # dNu/dx
-            (b_opp * uw).sum(-1) * sub,  # dNu/dy
-            (a_opp * vw).sum(-1) * sub,  # dNv/dx
-            (b_opp * vw).sum(-1) * sub,  # dNv/dy
-        ]
+        terms = _lod_terms(tri, uv_slot, config, xp)
         cols.append(xp.stack(terms, axis=-1).astype(xp.float32))
     # attribute groups, vertex-major per attribute, then the 1/w group
     # (whose lam-interpolation is the perspective denominator)
@@ -240,6 +266,29 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     cols.append(aw.astype(xp.float32))
     cols.append(tri.inv_w.astype(xp.float32))
     return xp.concatenate(cols, axis=1), 7
+
+
+def _lod_terms(tri: TriBuf, uv_slot, config, xp):
+    """The six per-RECORD texture-LOD derivative terms (dDdx dDdy dNudx
+    dNudy dNvdx dNvdy), as a list of (C,) f32 arrays. The screen-space
+    uv-derivative numerator/denominator derivatives depend only on edge
+    coefficients and per-vertex uw/vw/1w — constant per triangle."""
+    sub = float(config.subpixel)
+    a, b = fp.edge_coeffs(tri.xs, tri.ys, xp)  # (C, 3) exact ints
+    # edge OPPOSITE vertex k is edge index (k+1) % 3 (fixedpoint.coverage)
+    a_opp = xp.stack([a[:, 1], a[:, 2], a[:, 0]], axis=-1).astype(xp.float32)
+    b_opp = xp.stack([b[:, 1], b[:, 2], b[:, 0]], axis=-1).astype(xp.float32)
+    uw = tri.attr_w[:, :, uv_slot]
+    vw = tri.attr_w[:, :, uv_slot + 1]
+    iw = tri.inv_w
+    return [
+        ((a_opp * iw).sum(-1) * sub).astype(xp.float32),  # dD/dx
+        ((b_opp * iw).sum(-1) * sub).astype(xp.float32),  # dD/dy
+        ((a_opp * uw).sum(-1) * sub).astype(xp.float32),  # dNu/dx
+        ((b_opp * uw).sum(-1) * sub).astype(xp.float32),  # dNu/dy
+        ((a_opp * vw).sum(-1) * sub).astype(xp.float32),  # dNv/dx
+        ((b_opp * vw).sum(-1) * sub).astype(xp.float32),  # dNv/dy
+    ]
 
 
 def _sample_texture(
@@ -265,17 +314,19 @@ def _sample_texture(
     area2 = (e0 + e1 + e2).astype(xp.float32)
     D = denom * area2
     invD = (1.0 / xp.where(D == 0.0, 1e-30, D)).astype(xp.float32)
-    dudx = (lod6[..., 2] - u * lod6[..., 0]) * invD
-    dudy = (lod6[..., 3] - u * lod6[..., 1]) * invD
-    dvdx = (lod6[..., 4] - v * lod6[..., 0]) * invD
-    dvdy = (lod6[..., 5] - v * lod6[..., 1]) * invD
+    dudx = (lod6[2] - u * lod6[0]) * invD
+    dudy = (lod6[3] - u * lod6[1]) * invD
+    dvdx = (lod6[4] - v * lod6[0]) * invD
+    dvdy = (lod6[5] - v * lod6[1]) * invD
 
     lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, pyr.base_size, xp)
 
     tex_id = scene.materials.tex_id[mat_id]
     has_tex = tex_id >= 0
     tid_safe = xp.where(has_tex, tex_id, 0)
-    texc = sm.sample_trilinear(pyr, tid_safe, u, v, lod, xp)
+    texc = sm.sample_trilinear(
+        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch
+    )
     return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
 
 
