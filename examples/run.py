@@ -27,7 +27,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("preset", choices=[f"config{i}" for i in range(1, 7)])
+    ap.add_argument("preset")
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--out", default="")
     ap.add_argument("--dump-every", type=int, default=0, help="PNG every N frames")
@@ -63,6 +63,7 @@ def main():
             return step, lambda f: f
 
         step, readback = make_step()
+        r = None
     else:
         import jax
         import jax.numpy as jnp
@@ -119,35 +120,35 @@ def main():
         jax.profiler.start_trace(prof_dir)
         prof_ctx = prof_dir
 
-    # Frame loop with DOUBLE-BUFFERED readback (SURVEY.md §2.1 "Allocators"/
-    # "Command recording & sync"): dispatch frame i, start the async
-    # device->host copy of frame i, and write frame i-1's PNG while the
-    # device renders — host IO overlaps device compute, one frame in flight.
-    def start_copy(f):
-        if hasattr(f.color, "copy_to_host_async"):
-            f.color.copy_to_host_async()
-        return f
-
+    # Frame loop with DOUBLE-BUFFERED presentation via the Renderer API
+    # (SURVEY.md §2.1 "Allocators"/"Command recording & sync"):
+    # present(frame i) starts its async device->host copy and returns frame
+    # i-1's completed host copy — its PNG encodes while the device renders
+    # frame i+1. One frame in flight, host IO overlapped with device work.
     def dump(i, f):
         write_png(
             os.path.join(args.out, f"{args.preset}_{i:04d}.png"),
             np.asarray(f.color),
         )
 
+    presenter = getattr(r, "present", None)
+
     t0 = time.perf_counter()
     last = None
-    pending = None  # (index, frame) whose host copy is in flight
+    pending_i = None  # index of the frame whose host copy is in flight
     for i in range(args.frames):
         t = args.dt * i
         frame = step(t)
-        if args.dump_every and i % args.dump_every == 0:
-            start_copy(frame)
-            if pending is not None:
-                dump(*pending)
-            pending = (i, frame)
+        if args.dump_every and i % args.dump_every == 0 and presenter:
+            done = presenter(frame)
+            if done is not None:
+                dump(pending_i, done)
+            pending_i = i
+        elif args.dump_every and i % args.dump_every == 0:
+            dump(i, readback(frame))  # oracle path: synchronous
         last = frame
-    if pending is not None:
-        dump(*pending)
+    if presenter and pending_i is not None:
+        dump(pending_i, r.flush())
     fr = readback(last)
     dt = (time.perf_counter() - t0) / max(args.frames, 1)
 

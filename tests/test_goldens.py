@@ -19,6 +19,7 @@ FACTORIES = {
     "config2": lambda: presets.config2_icospheres(),
     "config3": lambda: presets.config3_terrain(nx=48, nz=48),
     "config4": lambda: presets.config4_phong(),
+    "config4b": lambda: presets.config4_blend(),
     "config5": lambda: presets.config5_flythrough(nx=64, nz=64),
     "config6": lambda: presets.config6_asset(),
 }
@@ -45,7 +46,11 @@ def test_device_matches_golden(name):
     npix = golden.shape[0] * golden.shape[1]
     # <=1 LSB everywhere except a handful of shadow-edge pixels in the
     # shadow-mapped configs (4 and 6)
-    allowed = max(2, int(npix * 0.001)) if name in ("config4", "config6") else 0
+    allowed = (
+        max(2, int(npix * 0.001))
+        if name in ("config4", "config4b", "config6")
+        else 0
+    )
     assert bad <= allowed, f"{name}: {bad} px differ >1 LSB (max {diff.max()})"
     cov = float((frame.depth < 1.0).mean())
     assert abs(cov - m["coverage"]) < 1e-6, "coverage drifted from golden"

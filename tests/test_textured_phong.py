@@ -31,12 +31,54 @@ def test_textured_terrain_parity():
 
 
 def test_textured_mips_engage():
-    """Distant terrain must sample coarser mips than near terrain: render
-    and check there's no aliasing explosion — proxy: mean color of far rows
-    is close to the texture's mean (mip-filtered), not bimodal."""
+    """Distant terrain must sample coarser mips than near terrain —
+    asserted END-TO-END through a rendered frame: rebuild the scene's
+    texture pyramid with every level >= 1 dyed pure red and render. If
+    per-pixel LOD engages, far (horizon) rows turn red while the nearest
+    rows keep the base checker; if sampling were stuck on level 0 both
+    frames would be identical."""
+    from xr.core.types import TexturePyramid
+    from xr.scene.texture import _pack_quads
+
     p = small_preset(config3_terrain(nx=24, nz=24), 160, 120, bin_capacity=4096)
-    _, df = _run_pair(p, t=0.0)
-    assert (df.depth < 1.0).any()
+    pyr = p.scene.textures
+    S, L = pyr.base_size, pyr.num_levels
+    base = np.asarray(pyr.data[0, : S * S]).reshape(S, S, 3)
+    red = np.broadcast_to(np.float32([1.0, 0.0, 0.0]), base.shape)
+    levels = [base] + [
+        np.ascontiguousarray(red[: max(S >> k, 1), : max(S >> k, 1)])
+        for k in range(1, L)
+    ]
+    red_pyr = TexturePyramid(
+        data=np.concatenate([lv.reshape(-1, 3) for lv in levels], axis=0)[None],
+        quads=_pack_quads(levels)[None],
+        base_size=S,
+        num_levels=L,
+    )
+
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+    r = Renderer(scene, p.config)
+    plain = r.readback(r.step(scene, cam))
+    scene_red = scene.replace(textures=red_pyr)
+    dyed = r.readback(r.step(scene_red, cam))
+
+    assert (plain.color != dyed.color).any(), "mip levels never sampled"
+    cov_rows = np.where((dyed.depth < 1.0).any(axis=1))[0]
+    n = max(len(cov_rows) // 5, 1)
+    far, near = cov_rows[:n], cov_rows[-n:]  # horizon rows first (top)
+
+    def redness(rows):
+        c = dyed.color[rows].astype(np.float32)
+        m = (dyed.depth[rows] < 1.0)
+        return float((c[..., 0] - c[..., 2])[m].mean())
+
+    assert redness(far) > redness(near) + 20.0, (
+        "far rows are not redder than near rows — coarser mips are not "
+        f"engaging with distance (far {redness(far):.1f}, near "
+        f"{redness(near):.1f})"
+    )
+    assert redness(far) > 0.0
 
 
 def test_phong_shadow_parity():
@@ -69,3 +111,31 @@ def test_phong_shadow_darkens():
     wo = without.color.astype(int).sum(axis=-1)
     darker = (wo - w) > 30
     assert darker.sum() > 20, "no shadowed pixels found"
+
+
+def test_only_light0_casts_shadows():
+    """SHADOW CONTRACT (shade_math.shade_phong): the shadow factor
+    multiplies ONLY directional light 0's contribution. With light 0's
+    color zeroed, toggling the shadow pass must not change a single pixel;
+    with light 0 lit, it must."""
+    p = small_preset(
+        config4_phong(), 160, 100, bin_capacity=8192, shadow_map_size=256
+    )
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+    cfg_off = dataclasses.replace(p.config, shadow_map_size=0)
+
+    lights = scene.lights
+    dc = np.asarray(lights.dir_colors, np.float32).copy()
+    dc[0] = 0.0
+    scene_l0_dark = scene.replace(lights=lights.replace(dir_colors=dc))
+
+    on = render_frame(scene_l0_dark, cam, p.config)
+    off = render_frame(scene_l0_dark, cam, cfg_off)
+    assert (on.color == off.color).all(), (
+        "shadow pass changed pixels lit only by non-shadow-casting lights"
+    )
+
+    on2 = render_frame(scene, cam, p.config)
+    off2 = render_frame(scene, cam, cfg_off)
+    assert (on2.color != off2.color).any(), "shadow pass had no effect at all"

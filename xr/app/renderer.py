@@ -34,7 +34,7 @@ from xr.core.types import (
     RenderConfig,
     Scene,
 )
-from xr.pipeline.geometry import clip_capacity, geometry
+from xr.pipeline.geometry import clip_capacity, geometry, identity_layout
 from xr.pipeline.shadow import light_matrices_for_scene
 from xr.raster import dispatch
 from xr.shading.deferred import shade_deferred
@@ -42,7 +42,14 @@ from xr.shading.deferred import shade_deferred
 
 def _depth_pass(scene, view, proj, config: RenderConfig, capacity: int):
     tri = geometry(scene, view, proj, config, xp=jnp, capacity=capacity)
-    tid, zbuf, bin_of = dispatch.visibility(tri, config, capacity)
+    vis_tri = tri
+    if config.blend:
+        # blend state: transparent records win no pixels and cast no
+        # shadows — they only appear via the composite pass
+        from xr.shading.blend import opaque_valid
+
+        vis_tri = tri.replace(valid=opaque_valid(tri, scene, jnp))
+    tid, zbuf, bin_of = dispatch.visibility(vis_tri, config, capacity)
     depth = jnp.where(jnp.isinf(zbuf), 1.0, zbuf).astype(jnp.float32)
     return tri, tid, depth, bin_of
 
@@ -70,6 +77,24 @@ def render_step(
     reference's PSO rebuild (examples/watch.py drives this live).
     """
     cap = capacity or clip_capacity(scene.mesh.num_triangles, config)
+    if (
+        config.stream_entry_cap == 0
+        and config.backend in ("auto", "pallas_stream")
+        and identity_layout(scene.mesh.num_triangles, config, cap)
+    ):
+        # identity record layout: capacity >> live triangles, and the
+        # stream kernel sizes its blocks (and record-gather cost) from
+        # capacity * stream_expand — a silent cost multiplier unless the
+        # entry capacity is pinned to the measured bin-entry count
+        import warnings
+
+        warnings.warn(
+            "identity record layout active with stream_entry_cap=0: the "
+            "streaming kernel will size blocks from the (much larger) "
+            "record capacity. Set RenderConfig.stream_entry_cap to the "
+            "measured bin-entry count.",
+            stacklevel=2,
+        )
     aspect = config.width / config.height
     view, proj = m3.camera_matrices(camera, aspect, jnp)
 
@@ -125,10 +150,68 @@ def render_step(
         xp=jnp,
         shade_hook=shade_hook,
     )
+    if config.blend:
+        from xr.shading.blend import composite_transparent
+
+        rgb, blend_of = composite_transparent(
+            rgb, depth, tri, scene, config, camera.eye, xp=jnp
+        )
+        stats["blend_overflow"] = blend_of
     return Frame(color=sm.resolve_u8(rgb, jnp), depth=depth, stats=stats)
 
 
-class Renderer:
+def readback_frame(frame: Frame, strict: bool = True) -> Frame:
+    """Device-to-host transfer (the Present() replacement).
+
+    strict: raise if any fixed-capacity stage overflowed and silently
+    dropped triangles (SURVEY.md §7.3.1 "fail loudly in tests").
+    """
+    out = Frame(
+        color=np.asarray(frame.color),
+        depth=np.asarray(frame.depth),
+        stats={k: np.asarray(v) for k, v in frame.stats.items()},
+    )
+    if strict:
+        for k in ("clip_overflow", "bin_overflow", "blend_overflow"):
+            n = int(out.stats.get(k, 0))
+            if n:
+                raise RuntimeError(
+                    f"{k}={n}: triangles dropped — raise clip_expand/"
+                    "bin_capacity in RenderConfig"
+                )
+    return out
+
+
+class PresentMixin:
+    """Frames-in-flight presentation (SURVEY.md §2.1 "Allocators"/"Command
+    recording & sync"): `present(frame)` starts frame N's async device->host
+    copy and hands back frame N-1's completed HOST copy, so host-side
+    consumption (PNG encode, display) of the previous frame overlaps the
+    device rendering + transferring the current one — the double-buffered
+    swapchain pattern, one frame in flight. `flush()` drains the queue."""
+
+    _inflight: Optional[Frame] = None
+
+    def present(self, frame: Frame, strict: bool = True) -> Optional[Frame]:
+        """Queue `frame`; returns the PREVIOUS frame as a host-side Frame
+        (None on the first call)."""
+        for leaf in (frame.color, frame.depth):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        prev, self._inflight = self._inflight, frame
+        return readback_frame(prev, strict) if prev is not None else None
+
+    def flush(self, strict: bool = True) -> Optional[Frame]:
+        """Drain the in-flight frame (host copy of the last present())."""
+        prev, self._inflight = self._inflight, None
+        return readback_frame(prev, strict) if prev is not None else None
+
+    def readback(self, frame: Frame, strict: bool = True) -> Frame:
+        """Synchronous device-to-host transfer of one frame."""
+        return readback_frame(frame, strict)
+
+
+class Renderer(PresentMixin):
     """Stateful convenience wrapper: compiles `render_step` once per config
     (the PSO analog) and renders frames from (scene, camera).
 
@@ -140,6 +223,7 @@ class Renderer:
         self.config = config
         self.capacity = clip_capacity(scene.mesh.num_triangles, config)
         self._light = None
+        self._inflight = None
         if config.mode == MODE_PHONG and config.shadow_map_size > 0:
             self._light = light_matrices_for_scene(scene)
         self._step = jax.jit(
@@ -155,24 +239,3 @@ class Renderer:
         if lm is not None:
             return self._step(scene, camera, light_view=lm[0], light_proj=lm[1])
         return self._step(scene, camera)
-
-    def readback(self, frame: Frame, strict: bool = True) -> Frame:
-        """Device-to-host transfer (the Present() replacement).
-
-        strict: raise if any fixed-capacity stage overflowed and silently
-        dropped triangles (SURVEY.md §7.3.1 "fail loudly in tests").
-        """
-        out = Frame(
-            color=np.asarray(frame.color),
-            depth=np.asarray(frame.depth),
-            stats={k: np.asarray(v) for k, v in frame.stats.items()},
-        )
-        if strict:
-            for k in ("clip_overflow", "bin_overflow"):
-                n = int(out.stats.get(k, 0))
-                if n:
-                    raise RuntimeError(
-                        f"{k}={n}: triangles dropped — raise clip_expand/"
-                        "bin_capacity in RenderConfig"
-                    )
-        return out

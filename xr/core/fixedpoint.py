@@ -109,7 +109,10 @@ def barycentrics_f32(e0, e1, e2, xp=np):
     One division; both sides compute e_i.astype(f32) / area2.astype(f32).
     """
     area2 = (e0 + e1 + e2).astype(xp.float32)
-    inv = xp.where(area2 != 0.0, 1.0 / area2, 0.0).astype(xp.float32)
+    # degenerate (area2 == 0) entries divide a sanitized 1.0 so the numpy
+    # path stays warning-free; the selected value is 0 either way
+    safe = xp.where(area2 == 0.0, xp.float32(1.0), area2)
+    inv = xp.where(area2 != 0.0, 1.0 / safe, 0.0).astype(xp.float32)
     return (
         e0.astype(xp.float32) * inv,
         e1.astype(xp.float32) * inv,

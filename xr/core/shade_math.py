@@ -63,6 +63,13 @@ def shade_phong(
 
     shadow_factor: optional (...,) multiplier applied to light 0's
     (directional) contribution — the shadow-map test result.
+
+    SHADOW CONTRACT: only DIRECTIONAL LIGHT 0 casts shadows. The frame
+    program renders exactly one shadow-map depth pass, from the light that
+    xr.pipeline.shadow.light_matrices_for_scene fits (directional light 0);
+    additional directional lights and all point lights are always unshadowed
+    fill lights. Contract test: tests/test_textured_phong.py::
+    test_only_light0_casts_shadows.
     """
     n = normal
     v = view_pos - world_pos
@@ -275,6 +282,12 @@ def shadow_test(shadow_depth, world_pos, light_viewproj, bias, xp=np):
     z = clip[..., 2] / w
     sx = (ndc_x * 0.5 + 0.5) * ws
     sy = (0.5 - ndc_y * 0.5) * hs
+    # sanitize before the f32->i32 cast: background pixels carry garbage
+    # world positions whose NaN/inf survive to sx/sy, and a NaN->int cast
+    # is undefined (and differs between numpy and XLA). The result is
+    # masked by `inside` below either way; this just pins the bits.
+    sx = xp.nan_to_num(sx, nan=0.0, posinf=0.0, neginf=0.0)
+    sy = xp.nan_to_num(sy, nan=0.0, posinf=0.0, neginf=0.0)
     ix = xp.clip(xp.floor(sx).astype(xp.int32), 0, ws - 1)
     iy = xp.clip(xp.floor(sy).astype(xp.int32), 0, hs - 1)
     flat = iy * ws + ix

@@ -135,9 +135,26 @@ class RenderConfig:
     # (Ntex*P, 13) bilinear-quad table in sample_trilinear).
     tex_fetch: str = "wide"
 
+    # Occlusion early-out in the streaming visibility kernel: skip a
+    # record's whole band loop when its z_min is behind the tile's current
+    # z-buffer max (recomputed per block). Pays on deep scenes (config-5
+    # class, many fully-covered tiles); the per-block max-reduce costs more
+    # than it saves on shallow ones (~+0.6 ms at config3 — PERF.md r3).
+    z_earlyout: bool = False
+
     # Shadow mapping (MODE_PHONG only).
     shadow_map_size: int = 0  # 0 => no shadow pass
     shadow_bias: float = 2e-3
+
+    # Alpha blending (the reference PSO's blend-state axis, SURVEY.md §2.1).
+    # When True, triangles whose material alpha < 1 are excluded from every
+    # visibility pass (win no pixels, cast no shadows) and composited
+    # back-to-front in RECORD ID ORDER over the shaded frame, depth-tested
+    # read-only against the opaque z-buffer: out = dst*(1-a) + src*a.
+    # See xr/shading/blend.py for the contract and v1 shading scope.
+    blend: bool = False
+    blend_capacity: int = 128  # max transparent records (overflow is loud)
+    blend_chunk: int = 8  # fragment-math batch size within the composite
 
     # Multi-chip screen-band sharding (SURVEY.md §2.4/§5.8): number of
     # devices the framebuffer is sharded across (1 => single device).
@@ -273,10 +290,15 @@ class Material(struct.PyTreeNode):
     ks: Any
     shininess: Any
     tex_id: Any
+    # per-material opacity in [0, 1]; rows with alpha < 1 participate in
+    # the blended pass when RenderConfig.blend is set (xr/shading/blend.py).
+    # None (legacy constructions) means fully opaque.
+    alpha: Any = None
 
     @staticmethod
     def table(rows) -> "Material":
-        """rows: list of dicts with keys base_color, ka, kd, ks, shininess, tex_id."""
+        """rows: list of dicts with keys base_color, ka, kd, ks, shininess,
+        tex_id, alpha."""
         def col(k, d, dt=np.float32):
             return np.asarray([r.get(k, d) for r in rows], dt)
 
@@ -287,6 +309,7 @@ class Material(struct.PyTreeNode):
             ks=col("ks", 0.0),
             shininess=col("shininess", 32.0),
             tex_id=col("tex_id", -1, np.int32),
+            alpha=col("alpha", 1.0),
         )
 
 

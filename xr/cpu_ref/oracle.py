@@ -34,6 +34,7 @@ from xr.core.types import (
 from xr.pipeline.geometry import TriBuf, geometry
 from xr.pipeline.shadow import light_matrices_for_scene
 from xr.raster import common as rc
+from xr.shading import blend
 from xr.shading.deferred import shade_deferred
 
 
@@ -109,11 +110,17 @@ def render_frame(
             shadow_map_size=0,
         )
         s_tri = geometry(scene, lview, lproj, s_cfg, xp=np)
+        if config.blend:
+            s_tri = s_tri.replace(valid=blend.opaque_valid(s_tri, scene, np))
         _, s_zbuf = visibility_bbox(s_tri, s_cfg)
         shadow_depth = np.where(np.isinf(s_zbuf), 1.0, s_zbuf).astype(np.float32)
 
     tri = geometry(scene, view, proj, config, xp=np)
-    tid, zbuf = visibility_bbox(tri, config)
+    vis_tri = tri
+    if config.blend:
+        # transparent records win no pixels and cast no shadows (blend.py)
+        vis_tri = tri.replace(valid=blend.opaque_valid(tri, scene, np))
+    tid, zbuf = visibility_bbox(vis_tri, config)
     depth = np.where(np.isinf(zbuf), 1.0, zbuf).astype(np.float32)
 
     shaded = config.width * config.height
@@ -142,5 +149,11 @@ def render_frame(
         xp=np,
         shade_hook=shade_hook,
     )
+    if config.blend:
+        rgb, blend_of = blend.composite_transparent(
+            rgb, depth, tri, scene, config,
+            np.asarray(camera.eye, np.float32), xp=np,
+        )
+        stats["blend_overflow"] = blend_of
     color = sm.resolve_u8(rgb, np)
     return Frame(color=color, depth=depth, stats=stats)

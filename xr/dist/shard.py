@@ -33,6 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from xr.core import math3d as m3
 from xr.core import shade_math as sm
 from xr.core.types import MODE_DEPTH_ONLY, MODE_PHONG, Frame, RenderConfig, Scene
+from xr.app.renderer import PresentMixin
 from xr.pipeline.geometry import clip_capacity, geometry
 from xr.raster import dispatch
 from xr.shading.deferred import shade_deferred
@@ -168,8 +169,9 @@ def render_step_sharded(
     return Frame(color=color[:H], depth=depth[:H], stats=stats)
 
 
-class ShardedRenderer:
-    """Multi-chip counterpart of xr.app.Renderer (config 5)."""
+class ShardedRenderer(PresentMixin):
+    """Multi-chip counterpart of xr.app.Renderer (config 5): same
+    step/readback/present surface, banded across a device mesh."""
 
     def __init__(self, scene: Scene, config: RenderConfig, devices=None,
                  shade_hook=None):
@@ -179,6 +181,7 @@ class ShardedRenderer:
         self.mesh = make_band_mesh(config.num_shards, devices)
         self.capacity = clip_capacity(scene.mesh.num_triangles, config)
         self._light = None
+        self._inflight = None
         if config.mode == MODE_PHONG and config.shadow_map_size > 0:
             self._light = light_matrices_for_scene(scene)
         self._step = jax.jit(

@@ -76,6 +76,20 @@ def clip_capacity(num_tris: int, config: RenderConfig) -> int:
     return int(np.ceil(num_tris * config.clip_expand)) + 64
 
 
+def clip_budget(num_tris: int, config: RenderConfig) -> int:
+    """Static Sutherland-Hodgman budget (tris that CROSS a clip plane)."""
+    b = config.clip_budget or max(1024, num_tris // 16)
+    return min(b, num_tris)
+
+
+def identity_layout(num_tris: int, config: RenderConfig, capacity: int) -> bool:
+    """True when geometry() takes the identity record-layout branch
+    (capacity covers every possible output; no compaction gather). Stream-
+    kernel entry sizing must then come from stream_entry_cap, not from
+    capacity * stream_expand — see stream_blocks."""
+    return capacity >= num_tris + clip_budget(num_tris, config) * MAX_FAN
+
+
 def _is_np(xp) -> bool:
     return xp is np
 
@@ -412,8 +426,7 @@ def geometry(
     crossing = (~inside_all) & (~outside_any)
 
     # ---- path B: Sutherland-Hodgman on the (few) crossing triangles -----
-    B = config.clip_budget or max(1024, T // 16)
-    B = min(B, T)
+    B = clip_budget(T, config)
     sel, _, crossing_total = _sort_compact_ids(crossing, B, xp)
     sel_valid = xp.arange(B) < xp.minimum(crossing_total, B)
     cpos = tri_pos[sel]
@@ -462,7 +475,7 @@ def geometry(
     # resolve to the same triangle as the compacted layout; the oracle
     # (numpy) takes this same branch for identical semantics.
     BF_id = B * F
-    if C >= T + BF_id:
+    if identity_layout(T, config, C):  # C >= T + B*F
         pad = C - T - BF_id
 
         def cat(a_field, b_field):

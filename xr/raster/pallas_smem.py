@@ -66,9 +66,12 @@ def pack_tri_records(tri: TriBuf, yo):
     zbits = jax.lax.bitcast_convert_type(tri.z, jnp.int32)
 
     def bpack(lo, hi):
-        # clamp into i16 range: band/tile windows live in [0, extent*sub],
-        # far inside +-32767, so clamping cannot flip a hit test (a sharded
-        # band's y-translation can push a guard-band bbox past i16)
+        # DEFENSIVE clamp only: RenderConfig.__post_init__'s edge-overflow
+        # assert bounds every post-clip (and band-translated) coordinate to
+        # |span| << 32767, so this clamp is provably dead under that same
+        # invariant — it exists so a future subpixel_bits/guard_band change
+        # that outgrows i16 degrades to a too-small bbox (a loud visual
+        # artifact) instead of packed-u16 wraparound garbage
         lo = jnp.clip(lo, -_B16, _B16 - 1)
         hi = jnp.clip(hi, -_B16, _B16 - 1)
         return ((lo + _B16) & 0xFFFF) | ((hi + _B16) << 16)

@@ -76,6 +76,7 @@ def _vis_kernel(
     ntx: int,
     blk: int,
     depth_test: bool = True,
+    z_earlyout: bool = False,
 ):
     larges = lrefs_and_outs[:NFIELDS]
     tid_ref, zb_ref = lrefs_and_outs[NFIELDS], lrefs_and_outs[NFIELDS + 1]
@@ -118,7 +119,7 @@ def _vis_kernel(
     # upper bound of the tile's current max z, recomputed once per BLOCK
     # (zb only decreases, so staleness within a block stays conservative).
     # The bound is +inf until every pixel of the tile is covered.
-    zmax = jnp.max(zb_ref[:]) if depth_test else None
+    zmax = jnp.max(zb_ref[:]) if (depth_test and z_earlyout) else None
 
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
@@ -198,7 +199,7 @@ def visibility_binned(
 
     kernel = functools.partial(
         _vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx, blk=BLK,
-        depth_test=config.depth_test,
+        depth_test=config.depth_test, z_earlyout=config.z_earlyout,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -238,6 +238,46 @@ def config4_phong() -> Preset:
     return Preset("config4_phong", scene, animate, cfg)
 
 
+def config4_blend() -> Preset:
+    """Config-4-class scene with BLENDED transparency (SURVEY.md §2.1
+    "Pipeline state": the blend axis): the Phong multi-light scene plus two
+    overlapping transparent panes floating above it, appended to the mesh
+    in back-to-front order (lower pane first — the camera orbits above, so
+    record-id order is composite order; see xr/shading/blend.py)."""
+    base = config4_phong()
+    pane_lo = proc.transformed(
+        proc.grid_plane(1, 1, size=7.0, mat=4),
+        m3.translation((0.5, 1.6, -0.3), np),
+    )
+    pane_hi = proc.transformed(
+        proc.grid_plane(1, 1, size=5.0, mat=5),
+        m3.translation((-0.6, 2.6, 0.4), np),
+    )
+    mesh = proc.merge_meshes(
+        [base.scene.mesh, pane_lo, pane_hi], [0, 0, 0]
+    )
+    mats = base.scene.materials
+    rows = [
+        {
+            "base_color": tuple(np.asarray(mats.base_color[i])),
+            "ka": float(mats.ka[i]),
+            "kd": float(mats.kd[i]),
+            "ks": float(mats.ks[i]),
+            "shininess": float(mats.shininess[i]),
+            "tex_id": int(mats.tex_id[i]),
+        }
+        for i in range(mats.base_color.shape[0])
+    ] + [
+        {"base_color": (0.9, 0.3, 0.25), "ks": 0.3, "shininess": 32.0,
+         "alpha": 0.55},
+        {"base_color": (0.25, 0.45, 0.95), "ks": 0.3, "shininess": 32.0,
+         "alpha": 0.4},
+    ]
+    scene = base.scene.replace(mesh=mesh, materials=Material.table(rows))
+    cfg = dataclasses.replace(base.config, blend=True, blend_capacity=32)
+    return Preset("config4_blend", scene, base.animate, cfg)
+
+
 def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
     """Config 5 (BASELINE.json:11): ~1M-triangle Sponza-class fly-through,
     sharded per screen-tile band across 4 chips (SURVEY.md §5.8)."""
@@ -302,9 +342,13 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         # fly-through max is ~390k post-cull tris (of 1.0M in): capacity
         # 431k keeps ~1.1x headroom (overflow counters are loud if a camera
         # path ever exceeds it); every binning/record/sort stage scales
-        # with this capacity. (The identity record layout — clip_expand
-        # >= ~1.06 — was benched at 214 ms here: the C-scale concat/table
-        # costs outweigh the saved compaction gather. See PERF.md.)
+        # with this capacity. The margin is deliberately TIGHT because this
+        # preset's camera path is FROZEN (it is the benchmarked config-5
+        # flythrough); if you retarget the path or mesh, re-measure the
+        # post-cull peak and keep >= 1.2x headroom. (The identity record
+        # layout — clip_expand >= ~1.06 — was benched at 214 ms here: the
+        # C-scale concat/table costs outweigh the saved compaction gather.
+        # See PERF.md.)
         clip_expand=0.43,
         stream_expand=1.2,
         stream_block=256,
@@ -385,6 +429,7 @@ ALL_PRESETS = {
     "config2": config2_icospheres,
     "config3": config3_terrain,
     "config4": config4_phong,
+    "config4b": config4_blend,
     "config5": config5_flythrough,
     "config6": config6_asset,
 }
