@@ -14,7 +14,6 @@ import pytest
 from xr.core import math3d as m3
 from xr.pipeline.geometry import geometry
 from xr.raster import jnp_backend as jb
-from xr.raster import pallas_backend as pb
 from xr.scene.presets import config1_cube, config2_icospheres, small_preset
 
 
@@ -27,25 +26,6 @@ def _tri_and_cfg(preset, t=0.2, **over):
     view, proj = m3.camera_matrices(cam, p.config.width / p.config.height, np)
     tri = geometry(scene, jnp.asarray(view), jnp.asarray(proj), p.config, xp=jnp)
     return tri, p.config
-
-
-@pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
-def test_pallas_interpret_matches_jnp(preset_fn):
-    tri, cfg = _tri_and_cfg(preset_fn())
-    t_j, z_j, of_j = jb.visibility_binned(tri, cfg)
-    t_p, z_p, of_p = pb.visibility_binned(tri, cfg, interpret=True)
-    assert int(of_j) == int(of_p) == 0
-    assert (np.asarray(t_j) == np.asarray(t_p)).all()
-    assert (np.asarray(z_j) == np.asarray(z_p)).all()
-
-
-def test_pallas_interpret_y_offset():
-    tri, cfg = _tri_and_cfg(config2_icospheres())
-    band = dataclasses.replace(cfg, height=32)
-    t_f, z_f, _ = jb.visibility_binned(tri, cfg)
-    t_b, z_b, _ = pb.visibility_binned(tri, band, y_offset=32, interpret=True)
-    assert (np.asarray(t_b) == np.asarray(t_f)[32:64]).all()
-    assert (np.asarray(z_b) == np.asarray(z_f)[32:64]).all()
 
 
 @pytest.mark.tpu

@@ -110,8 +110,9 @@ class RenderConfig:
     # bin-entry count instead. Overflow stays loud either way.
     stream_entry_cap: int = 0
 
-    # Raster backend: "jnp" (portable, runs on CPU mesh tests) or "pallas"
-    # (TPU kernel) or "auto" (pallas on TPU, jnp elsewhere).
+    # Raster backend: "jnp" (portable, runs on CPU mesh tests),
+    # "pallas_stream" / "pallas_smem" (TPU kernels), or "auto"
+    # (pallas_stream on TPU, jnp elsewhere).
     backend: str = "auto"
 
     # Run Pallas kernels in interpret mode (the "sanitizer build",

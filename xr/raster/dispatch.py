@@ -2,11 +2,15 @@
 
 Backends (all bit-identical results):
   jnp          — portable (CPU mesh tests, fallback)
-  pallas       — Pallas TPU kernel, VMEM record windows + masked-reduce
   pallas_smem  — Pallas TPU kernel, SMEM record windows + scalar loads
   pallas_stream — Pallas TPU kernel over block-aligned sorted segments with
                 scalar-prefetch-driven index maps (default on TPU: no
                 per-tile capacity, cost scales with actual bin entries)
+
+(The round-1 VMEM masked-reduce kernel was retired in round 3: dispatch
+never chose it — pallas_stream is strictly better at every scale it
+served, including the big-bin-capacity case that exceeds pallas_smem's
+SMEM budget.)
 """
 
 from __future__ import annotations
@@ -47,14 +51,10 @@ def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
     backend = config.backend
     if backend == "auto":
         backend = "pallas_stream" if on_tpu() else "jnp"
-    if not config.depth_test and backend == "pallas":
-        # painter's order is implemented in the scalar-record kernels
-        # (pallas_stream/pallas_smem) and the jnp backends; the VMEM
-        # masked-reduce kernel keeps its jnp fallback
-        backend = "pallas_stream" if on_tpu() else "jnp"
     if backend == "pallas_smem" and _smem_bytes(config) > 900_000:
-        # v5e has ~1MB of SMEM; big bin capacities only fit in VMEM
-        backend = "pallas"
+        # v5e has ~1MB of SMEM; bin capacities past the budget stream
+        # instead (no per-tile capacity at all)
+        backend = "pallas_stream"
     interp = config.pallas_interpret
     if backend == "pallas_stream":
         from xr.raster import pallas_stream
@@ -66,12 +66,6 @@ def visibility(tri, config: RenderConfig, capacity: int, y_offset=0):
         from xr.raster import pallas_smem
 
         return pallas_smem.visibility_binned(
-            tri, config, y_offset=y_offset, interpret=interp
-        )
-    if backend == "pallas":
-        from xr.raster import pallas_backend
-
-        return pallas_backend.visibility_binned(
             tri, config, y_offset=y_offset, interpret=interp
         )
     return jnp_backend.visibility_binned(tri, config, y_offset=y_offset)

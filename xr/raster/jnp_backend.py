@@ -18,7 +18,7 @@ id-ascending, and per-tile lists are pure gathers from the sorted array
 
 The jnp path runs on the CPU backend, which is what makes multi-chip
 sharding testable without a pod (SURVEY.md §4.2); it is also the portable
-fallback for the Pallas kernel (xr/raster/pallas_backend.py).
+fallback for the Pallas kernels (xr/raster/pallas_stream.py, pallas_smem.py).
 """
 
 from __future__ import annotations

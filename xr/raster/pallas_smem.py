@@ -1,12 +1,12 @@
-"""SMEM-records variant of the Pallas visibility kernel (experimental).
+"""SMEM-records Pallas visibility kernel (per-tile record windows).
 
-Identical semantics to xr/raster/pallas_backend.py; the difference is where
-per-triangle records live. The VMEM variant extracts each scalar with a
-masked reduction (vector->scalar moves serialize the triangle loop); here
-records are SMEM windows shaped (ntiles, 1, cap) — block dims equal to the
+Records are SMEM windows shaped (ntiles, 1, cap) — block dims equal to the
 array dims, which Mosaic's tiling rules accept — so per-triangle reads are
-plain scalar loads. Kept separate so both can be benchmarked/verified; the
-renderer picks via RenderConfig.backend == "pallas_smem".
+plain scalar loads. (A round-1 VMEM variant extracted scalars with masked
+reductions; vector->scalar moves serialize the triangle loop and it was
+retired in round 3.) The streaming kernel (pallas_stream.py) shares this
+module's record layout and scalar raster loop; the renderer picks via
+RenderConfig.backend.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ _B16 = 32768  # bias packing signed 16-bit bbox coords into u16 halves
 
 
 def pack_tri_records(tri: TriBuf, yo):
-    """(C, 16) i32 PLANE-FORM records — the kernels' per-record scalar work
+    """(C, 17) i32 PLANE-FORM records — the kernels' per-record scalar work
     is the bottleneck (the scalar core issues ~1 op/cycle), so everything
     derivable per RECORD is precomputed here, vectorized, at C scale:
 
@@ -273,7 +273,7 @@ def visibility_binned(
     y_offset=0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Same contract as pallas_backend.visibility_binned."""
+    """Same contract as every visibility backend (see dispatch.py)."""
     H, W = config.height, config.width
     TH, TW = config.tile_h, config.tile_w
     nty, ntx = grid_dims(config)

@@ -352,6 +352,9 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
         clip_expand=0.43,
         stream_expand=1.2,
         stream_block=256,
+        # deep scene, mostly fully-covered tiles: the z-min early-out cut
+        # the visibility kernel 39 -> 32.8 ms (PERF.md round 3)
+        z_earlyout=True,
     )
     return Preset("config5_flythrough", scene, animate, cfg)
 
