@@ -135,13 +135,20 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size: int, xp=np):
     return (0.5 * (xp.log(rho2) * (1.0 / np.log(2.0)))).astype(xp.float32)
 
 
-def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide"):
+def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
+                     addr=None):
     """Perspective-correct trilinear texture sample.
 
     pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
     repeat-wrapped); lod (...,) f32. Returns (..., 3) f32.
     fetch: "wide" (one 13-col row gather per pixel) or "fields" (13 dense
     per-column gathers; bit-identical — RenderConfig.tex_fetch).
+    addr: optional (...,) i32 per-pixel address mode (Material.tex_addr):
+    0 = repeat-wrap, 1 = clamp-to-edge. Clamp is implemented by clamping
+    the sample position to the COARSER mip level's half-texel interior, so
+    no bilinear footprint ever crosses an edge and the wrap-packed quad
+    layout stays valid — border filtering is clamped at the l1 half-texel
+    (a documented, oracle-shared approximation of per-level clamping).
 
     Implementation: sample BOTH bracketing mip levels for every pixel by
     gathering from the flattened QUAD pyramid (one gather fetches the whole
@@ -152,8 +159,6 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide"):
     """
     L = pyramid.num_levels
     base = pyramid.base_size
-    u = u - xp.floor(u)
-    v = v - xp.floor(v)
 
     lf = xp.clip(lod, 0.0, float(L - 1))
     l0 = xp.floor(lf)
@@ -164,6 +169,21 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide"):
     sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)
     offsets = xp.asarray([pyramid.level_offset(k) for k in range(L)], xp.int32)
     inv255 = xp.float32(1.0 / 255.0)
+
+    uw = u - xp.floor(u)
+    vw = v - xp.floor(v)
+    if addr is None:
+        u, v = uw, vw
+    else:
+        # clamp-to-edge: pin to the coarser level's half-texel interior
+        # (keeps both levels' footprints off the wrap seam; see docstring)
+        s1f = sizes[l1].astype(xp.float32)
+        half = xp.float32(0.5) / s1f
+        uc = xp.clip(u, half, 1.0 - half).astype(xp.float32)
+        vc = xp.clip(v, half, 1.0 - half).astype(xp.float32)
+        clamped = addr == 1
+        u = xp.where(clamped, uc, uw).astype(xp.float32)
+        v = xp.where(clamped, vc, vw).astype(xp.float32)
 
     def unpack_ch(q, shift):
         # one RGB8 channel of a packed u32 -> (...,) f32 in [0, 1].

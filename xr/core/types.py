@@ -295,6 +295,9 @@ class Material(struct.PyTreeNode):
     # the blended pass when RenderConfig.blend is set (xr/shading/blend.py).
     # None (legacy constructions) means fully opaque.
     alpha: Any = None
+    # per-material texture address mode: 0 = repeat-wrap (default), 1 =
+    # clamp-to-edge (MTL `map_Kd -clamp on`). None = all repeat.
+    tex_addr: Any = None
 
     @staticmethod
     def table(rows) -> "Material":
@@ -311,6 +314,13 @@ class Material(struct.PyTreeNode):
             shininess=col("shininess", 32.0),
             tex_id=col("tex_id", -1, np.int32),
             alpha=col("alpha", 1.0),
+            # None when every material wraps: the sampler then traces ZERO
+            # address-mode ops (the common case pays nothing)
+            tex_addr=(
+                col("tex_addr", 0, np.int32)
+                if any(r.get("tex_addr", 0) for r in rows)
+                else None
+            ),
         )
 
 

@@ -167,7 +167,20 @@ def parse_mtl(path: str):
             elif s.startswith("Ns "):
                 mats[cur]["Ns"] = float(s.split()[1])
             elif s.startswith("map_Kd"):
-                mats[cur]["map_Kd"] = s[6:].strip()
+                # map_Kd [-options ...] file; honor `-clamp on` (texture
+                # address mode, Material.tex_addr), skip other options
+                toks = s[6:].strip().split()
+                i = 0
+                while i < len(toks) and toks[i].startswith("-"):
+                    if toks[i] == "-clamp" and i + 1 < len(toks):
+                        mats[cur]["clamp"] = toks[i + 1].lower() == "on"
+                        i += 2
+                    elif toks[i] in ("-o", "-s", "-t"):  # 3-arg options
+                        i += 4
+                    else:
+                        i += 2
+                if i < len(toks):
+                    mats[cur]["map_Kd"] = " ".join(toks[i:])
     return mats
 
 
@@ -213,6 +226,8 @@ def load_obj_scene(path: str, lights=None, native: bool = True):
                 img = read_png(tp).astype(np.float32) / 255.0
                 row["tex_id"] = len(images)
                 images.append(img)
+        if m.get("clamp"):
+            row["tex_addr"] = 1  # clamp-to-edge (map_Kd -clamp on)
         rows.append(row)
 
     pyramid = None

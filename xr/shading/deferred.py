@@ -367,8 +367,11 @@ def _sample_texture(
     tex_id = scene.materials.tex_id[mat_id]
     has_tex = tex_id >= 0
     tid_safe = xp.where(has_tex, tex_id, 0)
+    addr = None
+    if scene.materials.tex_addr is not None:
+        addr = scene.materials.tex_addr[mat_id]
     texc = sm.sample_trilinear(
-        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch
+        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch, addr=addr
     )
     return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
 
