@@ -223,22 +223,16 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     K = pyramid.quads.shape[-1]
     flat_q = pyramid.quads.reshape(-1, K)
     qidx = tex_id * P + offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
-    from xr.core.packgather import pack_factor, packed_cols
-
     if fetch == "fields":
         qcols = [flat_q[:, c] for c in range(K)]
 
         def rowc(c):
             return qcols[c][qidx]
-    elif pack_factor(*flat_q.shape) == 1:
+    else:
         row = flat_q[qidx]  # (..., 13) — one row gather + one relayout
 
         def rowc(c):
             return row[..., c]
-    else:
-        # very large pyramids: repack multi-texel rows to dodge the table
-        # layout flip (packgather.py)
-        rowc, _ = packed_cols(flat_q, qidx, xp)
 
     # parent level: 3x3 block anchored at (j0//2 - 1, i0//2 - 1); the true
     # bilinear anchor (i1, j1) is inside it with relative offset in {0, 1}

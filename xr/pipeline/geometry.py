@@ -26,7 +26,6 @@ from flax import struct
 from xr.core import fixedpoint as fp
 from xr.core import math3d as m3
 from xr.core import shade_math as sm
-from xr.core.packgather import pack_factor, packed_cols
 from xr.core.types import (
     MODE_DEPTH_ONLY,
     MODE_FLAT,
@@ -415,30 +414,10 @@ def geometry(
     C = capacity if capacity is not None else clip_capacity(T, config)
 
     clip, vattrs, face_rgb = _vertex_stage(scene, view, proj, config, xp)
-    V = mesh.num_vertices
-    if pack_factor(V, 4 + A) == 1:
-        tri_pos = clip[mesh.indices]  # (T,3,4)
-        tri_attr = (
-            vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
-        )
-    else:
-        # big-scene path: a (V, 4) clip table above the layout-flip
-        # threshold makes XLA store it column-major and the (T, 3) corner
-        # gather runs at element rate (~15 ms/frame at 1M tris). Merge
-        # clip+attrs into ONE table and fetch through the flip-proof
-        # packed accessor (xr/core/packgather.py) — same values.
-        vt = (
-            xp.concatenate([clip, vattrs], axis=1).astype(xp.float32)
-            if A
-            else clip
-        )
-        col, _ = packed_cols(vt, mesh.indices, xp)
-        tri_pos = xp.stack([col(j) for j in range(4)], axis=-1)
-        tri_attr = (
-            xp.stack([col(4 + j) for j in range(A)], axis=-1)
-            if A
-            else xp.zeros((T, 3, 0), xp.float32)
-        )
+    tri_pos = clip[mesh.indices]  # (T,3,4)
+    tri_attr = (
+        vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
+    )
 
     planes = _plane_vectors(config.guard_band, xp)  # (6,4)
     d = _plane_distances(tri_pos, planes, xp)  # (T,3,6)
@@ -563,21 +542,8 @@ def geometry(
 
     packA = pack(xsA, ysA, zA, iwA, awA, rgbA, matA, T)
     packB = pack(xsB, ysB, zB, iwB, awB, rgbB, matB, BF)
-    K = packA.shape[1]
-    if pack_factor(T, K) == 1:
-        fm = from_a[:, None]
-        merged = xp.where(fm, packA[idxA], packB[srcB])  # (C, K)
-    else:
-        # big-scene path: the (T, K) source table would flip column-major
-        # (strided compaction gather ~16 ms/frame at 1M tris); fetch it
-        # through the flip-proof packed accessor and rebuild the merged
-        # (C, K) table column-wise — same values (packgather.py)
-        colA, _ = packed_cols(packA, idxA, xp)
-        rowsB = packB[srcB]
-        merged = xp.stack(
-            [xp.where(from_a, colA(j), rowsB[:, j]) for j in range(K)],
-            axis=1,
-        )
+    fm = from_a[:, None]
+    merged = xp.where(fm, packA[idxA], packB[srcB])  # (C, K)
 
     def ubits(x):
         if _is_np(xp):

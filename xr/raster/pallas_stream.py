@@ -34,7 +34,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xr.core.packgather import pack_factor, packed_cols
 from xr.core.types import RenderConfig
 from xr.pipeline.geometry import TriBuf
 from xr.raster import common as rc
@@ -179,36 +178,21 @@ def visibility_binned(
     rows2 = sidp[gidx >> 1]  # (NB, BLK, 2)
     picked = jnp.where((gidx & 1) == 1, rows2[..., 1], rows2[..., 0])
     ids = jnp.where(seg_ok, picked, C)  # (NB, BLK)
-    if pack_factor(*packed.shape) == 1:
-        rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, NFIELDS)
-        rows = jnp.where(
-            (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 12), BG, rows
-        )
-        # int fields 0..8 (edge planes) + 12..14 (id, oflags, bypacked),
-        # record-major, 12 slots; field 15 (bxpacked) is skipped — binned
-        # records always overlap their tile in x
-        rec_i = jnp.concatenate(
-            [rows[..., 0:9], rows[..., 12:15]], axis=-1
-        ).reshape(NB, 1, BLK * 12)
-        # f32 fields z0 z1 z2 z_min, record-major, 4 slots
-        rec_f = jax.lax.bitcast_convert_type(
-            jnp.concatenate([rows[..., 9:12], rows[..., 16:17]], axis=-1),
-            jnp.float32,
-        ).reshape(NB, 1, BLK * 4)
-    else:
-        # config-5 scale: the (C, NFIELDS) table exceeds the column-major
-        # flip threshold and a plain row gather degrades ~4x — fetch via
-        # the flip-proof packed accessor (packgather.py)
-        col, _ = packed_cols(packed, jnp.minimum(ids, C - 1), jnp)
-        empty = ids >= C
-        int_cols = [col(f) for f in range(9)] + [
-            jnp.where(empty, BG, col(12)), col(13), col(14),
-        ]
-        rec_i = jnp.stack(int_cols, axis=-1).reshape(NB, 1, BLK * 12)
-        rec_f = jax.lax.bitcast_convert_type(
-            jnp.stack([col(9), col(10), col(11), col(16)], axis=-1),
-            jnp.float32,
-        ).reshape(NB, 1, BLK * 4)
+    rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, NFIELDS) — THE gather
+    rows = jnp.where(
+        (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 12), BG, rows
+    )
+    # int fields 0..8 (edge planes) + 12..14 (id, oflags, bypacked),
+    # record-major, 12 slots; field 15 (bxpacked) is skipped — binned
+    # records always overlap their tile in x
+    rec_i = jnp.concatenate(
+        [rows[..., 0:9], rows[..., 12:15]], axis=-1
+    ).reshape(NB, 1, BLK * 12)
+    # f32 fields z0 z1 z2 z_min, record-major, 4 slots
+    rec_f = jax.lax.bitcast_convert_type(
+        jnp.concatenate([rows[..., 9:12], rows[..., 16:17]], axis=-1),
+        jnp.float32,
+    ).reshape(NB, 1, BLK * 4)
 
     # ---- large bucket (shared by all tiles) ------------------------------
     large = gather_field_records(b.large_ids, packed, C)

@@ -19,7 +19,6 @@ import numpy as np
 
 from xr.core import fixedpoint as fp
 from xr.core import shade_math as sm
-from xr.core.packgather import pack_factor, packed_cols
 from xr.core.types import (
     MODE_DEPTH_ONLY,
     MODE_FLAT,
@@ -134,12 +133,13 @@ def shade_deferred(
             if uv_slot is not None
             else None
         )
-    elif pack_factor(*_pack_shape(tri, A, uv_slot)) == 1:
+    else:
         # the MEASURED round-2 shape: one row gather, XLA inserts ONE
         # {0,1} relayout, every consumer is a contiguous column slice.
-        # (Restructuring these consumers around a column accessor made
-        # XLA skip the relayout and read strided slices — 13x slower;
-        # PERF.md round 3. Touch this block only with a trace in hand.)
+        # (Round 3 measured and rejected every alternative: per-field
+        # gathers 21x slower; multi-record packed tables with select
+        # chains or an explicit transpose 4-13x slower at BOTH config3
+        # and config5 scale. Touch this block only with a trace in hand.)
         table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
         rec = table[t]  # (H*W, K)
         xs = _bits_to_i32(rec[..., 0:3], xp)
@@ -167,38 +167,6 @@ def shade_deferred(
 
         lod6 = (
             tuple(rec[..., lod_base + i] for i in range(6))
-            if uv_slot is not None
-            else None
-        )
-    else:
-        # config-5 scale: the record table would flip column-major, so
-        # fetch through the flip-proof multi-record accessor
-        # (xr/core/packgather.py) — bit-identical values
-        table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
-        col, _ = packed_cols(table, t, xp)
-        xg = [_bits_to_i32(col(i), xp) for i in range(3)]
-        yg = [_bits_to_i32(col(3 + i), xp) for i in range(3)]
-
-        def edge(k):  # exact same int32 expressions as fp.coverage
-            k1 = (k + 1) % 3
-            a = yg[k1] - yg[k]
-            b = xg[k] - xg[k1]
-            return a * (px - xg[k]) + b * (py - yg[k])
-
-        # e_k is the edge value OPPOSITE vertex k (fp.coverage order)
-        e0, e1, e2 = edge(1), edge(2), edge(0)
-        l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
-        att0 = lod_base + (6 if uv_slot is not None else 0)
-
-        def interp(g):  # same product set / add order as the plain path
-            c = att0 + 3 * g
-            return (l0 * col(c) + l1 * col(c + 1)) + l2 * col(c + 2)
-
-        def fetch_mat():
-            return _bits_to_i32(col(6), xp)
-
-        lod6 = (
-            tuple(col(lod_base + i) for i in range(6))
             if uv_slot is not None
             else None
         )
@@ -304,11 +272,6 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     cols.append(aw.astype(xp.float32))
     cols.append(tri.inv_w.astype(xp.float32))
     return xp.concatenate(cols, axis=1), 7
-
-
-def _pack_shape(tri: TriBuf, A: int, uv_slot):
-    """(rows, width) of the _pack_records table, without building it."""
-    return tri.capacity, 7 + (6 if uv_slot is not None else 0) + 3 * (A + 1)
 
 
 def _lod_terms(tri: TriBuf, uv_slot, config, xp):
