@@ -41,18 +41,31 @@ def test_native_and_python_parsers_agree_at_scale(courtyard):
     assert rn["materials"] == rp["materials"]
 
 
-def test_mixed_texture_sizes_resampled(courtyard):
-    """Three map_Kd textures of DIFFERENT sizes (512/256/128) are loaded
-    and resampled to one power-of-two pyramid (the documented texture-size
-    policy, SURVEY.md §2.1 Material/texture)."""
+def test_mixed_texture_sizes_native(courtyard):
+    """Three map_Kd textures of DIFFERENT sizes (512/256/128) each keep
+    their NATIVE resolution in a RaggedPyramid (SURVEY.md §2.1
+    Material/texture: the reference handles per-image texture sizes; the
+    round-2 resample-to-one-size policy was the lossy stopgap)."""
     pyr = courtyard.textures
     assert pyr is not None
     assert pyr.num_textures == 3
-    assert pyr.base_size == 512  # largest map wins
-    # each texture carries distinct content (not accidentally duplicated)
-    lvl0 = np.asarray(pyr.data[:, : 512 * 512]).reshape(3, 512, 512, 3)
-    assert np.abs(lvl0[0] - lvl0[1]).mean() > 0.02
-    assert np.abs(lvl0[1] - lvl0[2]).mean() > 0.02
+    assert sorted(np.asarray(pyr.base_size_per_tex).tolist()) == [
+        128, 256, 512,
+    ]
+    # per-texture level-0 blocks carry distinct content at native size
+    offs = np.asarray(pyr.level_offset)
+    szs = np.asarray(pyr.level_size)
+    stds = []
+    for t in range(3):
+        s = int(szs[t, 0])
+        lvl0 = np.asarray(pyr.data[offs[t, 0] : offs[t, 0] + s * s])
+        stds.append(float(lvl0.std()))
+    assert all(sd > 0.01 for sd in stds)  # real, distinct content
+    # level tables: sizes halve down to the 1x1 tail, offsets increase
+    for t in range(3):
+        assert szs[t, 0] == int(np.asarray(pyr.base_size_per_tex)[t])
+        assert szs[t, -1] == 1
+        assert (szs[t, :-1] // np.maximum(szs[t, 1:], 1) <= 2).all()
     # materials reference all three + one untextured
     tex_ids = set(int(t) for t in courtyard.materials.tex_id)
     assert tex_ids == {-1, 0, 1, 2}

@@ -1,0 +1,91 @@
+"""Mixed-size texture pyramids (RaggedPyramid): native-resolution sampling
+must agree with the uniform pyramid wherever both exist, and the mixed
+path must hold oracle/device parity end-to-end."""
+
+import numpy as np
+
+from xr.core import shade_math as sm
+from xr.scene.texture import (
+    build_pyramid,
+    build_ragged_pyramid,
+    checkerboard,
+    noise_texture,
+)
+
+
+def _rand_uvlod(n, lmax, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.uniform(-1.5, 2.5, n).astype(np.float32),
+        rng.uniform(-1.5, 2.5, n).astype(np.float32),
+        rng.uniform(-0.5, lmax + 1.0, n).astype(np.float32),
+    )
+
+
+def test_ragged_equals_uniform_when_same_size():
+    imgs = [checkerboard(64), noise_texture(64, seed=7)]
+    uni = build_pyramid(imgs)
+    rag = build_ragged_pyramid(imgs)
+    assert rag.num_levels == uni.num_levels
+    u, v, lod = _rand_uvlod(500, uni.num_levels)
+    tid = (np.arange(500) % 2).astype(np.int32)
+    a = sm.sample_trilinear(uni, tid, u, v, lod, np)
+    b = sm.sample_trilinear(rag, tid, u, v, lod, np)
+    assert (a == b).all(), "same-size ragged sampling must be bit-identical"
+
+
+def test_ragged_preserves_native_content():
+    """A small texture in a MIXED pyramid samples exactly like the same
+    texture alone in its own uniform pyramid (no resampling loss)."""
+    small = noise_texture(32, seed=3)
+    big = checkerboard(256)
+    rag = build_ragged_pyramid([big, small])
+    uni_small = build_pyramid([small])
+
+    u, v, lod = _rand_uvlod(400, uni_small.num_levels - 1, seed=1)
+    lod = np.clip(lod, 0.0, uni_small.num_levels - 1.0)
+    a = sm.sample_trilinear(
+        rag, np.ones(400, np.int32), u, v, lod, np
+    )
+    b = sm.sample_trilinear(
+        uni_small, np.zeros(400, np.int32), u, v, lod, np
+    )
+    assert (a == b).all()
+
+
+def test_ragged_lod_tail_repeats_1x1():
+    """LODs past a texture's native chain return its 1x1 mip (the mean)."""
+    small = noise_texture(16, seed=9)
+    big = checkerboard(512)
+    rag = build_ragged_pyramid([big, small])
+    deep = np.full((8,), float(rag.num_levels), np.float32)
+    u, v, _ = _rand_uvlod(8, 1, seed=2)
+    c = sm.sample_trilinear(rag, np.ones(8, np.int32), u, v, deep, np)
+    assert np.allclose(c, c[0]), "1x1 tail must be position-independent"
+
+
+def test_ragged_end_to_end_parity():
+    """Oracle vs device (<=1 LSB) on a textured scene with MIXED sizes."""
+    import jax
+
+    from xr.app.renderer import Renderer
+    from xr.cpu_ref import render_frame
+    from xr.scene.presets import config3_terrain, small_preset
+
+    p = small_preset(config3_terrain(nx=24, nz=24), 128, 96, bin_capacity=4096)
+    # rebuild the scene's textures as a mixed-size ragged pyramid: the
+    # terrain's checker at native size plus an unused smaller map
+    pyr = p.scene.textures
+    S = pyr.base_size
+    base = np.asarray(pyr.data[0, : S * S]).reshape(S, S, 3)
+    rag = build_ragged_pyramid([base, noise_texture(S // 4)])
+    scene = p.scene.replace(textures=jax.tree_util.tree_map(np.asarray, rag))
+    cam, mm = p.animate(0.3, np)
+    scene = scene.replace(model_matrices=mm)
+
+    of = render_frame(scene, cam, p.config)
+    r = Renderer(scene, p.config)
+    df = r.readback(r.step(scene, cam))
+    assert ((df.depth == 1.0) == (of.depth == 1.0)).all()
+    diff = np.abs(df.color.astype(int) - of.color.astype(int))
+    assert diff.max() <= 1, f"ragged textured parity: max {diff.max()}"

@@ -113,13 +113,14 @@ def shade_phong(
 # ---------------------------------------------------------------------------
 
 
-def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size: int, xp=np):
+def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size, xp=np):
     """Mip LOD from screen-space uv derivatives (per pixel), texels/pixel.
 
     lod = 0.5 * log2(max(|d(uv*S)/dx|^2, |d(uv*S)/dy|^2)) — the standard
-    GPU footprint rule with the max-axis metric.
+    GPU footprint rule with the max-axis metric. base_size is a scalar for
+    the uniform pyramid or a per-pixel f32 array for RaggedPyramid.
     """
-    s = float(base_size)
+    s = float(base_size) if np.isscalar(base_size) else base_size
     # clamp before squaring: degenerate/background pixels can carry huge
     # derivatives (1/D blowup) that overflow f32 in the square; the lod is
     # clamped to the last mip level either way
@@ -158,7 +159,6 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     (BASELINE.json:5 "vectorized gathers with mip selection").
     """
     L = pyramid.num_levels
-    base = pyramid.base_size
 
     lf = xp.clip(lod, 0.0, float(L - 1))
     l0 = xp.floor(lf)
@@ -166,8 +166,30 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     l0 = l0.astype(xp.int32)
     l1 = xp.minimum(l0 + 1, L - 1)
 
-    sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)
-    offsets = xp.asarray([pyramid.level_offset(k) for k in range(L)], xp.int32)
+    ragged = hasattr(pyramid, "base_size_per_tex")  # RaggedPyramid
+    if ragged:
+        ls_flat = xp.asarray(pyramid.level_size).reshape(-1)
+        lo_flat = xp.asarray(pyramid.level_offset).reshape(-1)
+
+        def size_at(lk):
+            return ls_flat[tex_id * L + lk]
+
+        def qbase(lk):
+            return lo_flat[tex_id * L + lk]
+    else:
+        base = pyramid.base_size
+        sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)
+        offsets = xp.asarray(
+            [pyramid.level_offset(k) for k in range(L)], xp.int32
+        )
+        P = pyramid.quads.shape[1]
+
+        def size_at(lk):
+            return sizes[lk]
+
+        def qbase(lk):
+            return tex_id * P + offsets[lk]
+
     inv255 = xp.float32(1.0 / 255.0)
 
     uw = u - xp.floor(u)
@@ -177,7 +199,7 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     else:
         # clamp-to-edge: pin to the coarser level's half-texel interior
         # (keeps both levels' footprints off the wrap seam; see docstring)
-        s1f = sizes[l1].astype(xp.float32)
+        s1f = size_at(l1).astype(xp.float32)
         half = xp.float32(0.5) / s1f
         uc = xp.clip(u, half, 1.0 - half).astype(xp.float32)
         vc = xp.clip(v, half, 1.0 - half).astype(xp.float32)
@@ -195,7 +217,7 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
 
     def fractions(lk):
         """Bilinear anchor + fractions at per-pixel level lk."""
-        s = sizes[lk]
+        s = size_at(lk)
         sf = s.astype(xp.float32)
         tu = u * sf - 0.5
         tv = v * sf - 0.5
@@ -219,10 +241,9 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     # {1,0:T(8,128)} VMEM layout like every other record table (~2 ns/row).
     # (A transposed (13, Ntex*P) column gather was also tried: XLA lowers it
     # to per-field slice-reduce ops, 10x slower — see PERF.md round 2.)
-    P = pyramid.quads.shape[1]
     K = pyramid.quads.shape[-1]
     flat_q = pyramid.quads.reshape(-1, K)
-    qidx = tex_id * P + offsets[l0] + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
+    qidx = qbase(l0) + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
     if fetch == "fields":
         qcols = [flat_q[:, c] for c in range(K)]
 

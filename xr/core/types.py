@@ -355,6 +355,35 @@ class TexturePyramid(struct.PyTreeNode):
         return self.data.shape[0]
 
 
+class RaggedPyramid(struct.PyTreeNode):
+    """Mixed-size texture pyramid: every texture keeps its NATIVE square
+    power-of-two size (no cross-texture resampling loss — SURVEY.md §2.1
+    Material/texture, the reference's per-image texture sizes). All mip
+    chains flatten into ONE gatherable buffer; small per-(texture, level)
+    tables drive the per-pixel index math (gathered per pixel like the
+    uniform pyramid's level tables).
+
+    data:   (Ptotal, 3) f32 — reference texels (build/tests)
+    quads:  (Ptotal, 13) u32 — sampling layout (see TexturePyramid.quads)
+    level_offset: (Ntex, Lmax) i32 — start row of (tex, level); levels past
+            a texture's native chain repeat its last (1x1) level
+    level_size:   (Ntex, Lmax) i32 — texel width of (tex, level), min 1
+    base_size_per_tex: (Ntex,) i32 — native size (per-pixel LOD scale)
+    num_levels: int — Lmax = max native chain length (static)
+    """
+
+    data: Any
+    quads: Any
+    level_offset: Any
+    level_size: Any
+    base_size_per_tex: Any
+    num_levels: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_textures(self) -> int:
+        return self.level_offset.shape[0]
+
+
 class Scene(struct.PyTreeNode):
     """A complete renderable scene: one merged mesh (all draws batched into a
     single device-wide triangle array per frame, SURVEY.md §2.4), materials,

@@ -232,16 +232,25 @@ def load_obj_scene(path: str, lights=None, native: bool = True):
 
     pyramid = None
     if images:
-        size = 1
-        for im in images:
-            size = max(size, 1 << (max(im.shape[0], im.shape[1]) - 1).bit_length())
-        resized = []
-        for im in images:
-            # nearest-neighbor resample to the common power-of-two square
+        def to_pot_square(im):
+            # nearest-neighbor resample to the image's OWN nearest
+            # power-of-two square (no-op for already-POT-square maps)
+            size = 1 << (max(im.shape[0], im.shape[1]) - 1).bit_length()
+            if im.shape[:2] == (size, size):
+                return im
             yi = (np.arange(size) * im.shape[0] // size).clip(0, im.shape[0] - 1)
             xi = (np.arange(size) * im.shape[1] // size).clip(0, im.shape[1] - 1)
-            resized.append(im[yi][:, xi])
-        pyramid = build_pyramid(resized)
+            return im[yi][:, xi]
+
+        squared = [to_pot_square(im) for im in images]
+        if len({im.shape[0] for im in squared}) == 1:
+            pyramid = build_pyramid(squared)  # uniform fast path
+        else:
+            # MIXED sizes: each texture keeps its native resolution
+            # (RaggedPyramid) — no cross-texture resampling loss
+            from xr.scene.texture import build_ragged_pyramid
+
+            pyramid = build_ragged_pyramid(squared)
 
     if lights is None:
         lights = Lights.make(

@@ -8,7 +8,7 @@ from typing import Sequence
 
 import numpy as np
 
-from xr.core.types import TexturePyramid
+from xr.core.types import RaggedPyramid, TexturePyramid
 
 
 def _pack_quads(levels) -> np.ndarray:
@@ -78,6 +78,65 @@ def build_pyramid(images: Sequence[np.ndarray]) -> TexturePyramid:
         quads=np.stack(quads, axis=0),
         base_size=s,
         num_levels=num_levels,
+    )
+
+
+def _mip_levels(im: np.ndarray):
+    """Box-filter mip chain of a square power-of-two image, down to 1x1."""
+    s = im.shape[0]
+    levels = [im.astype(np.float32)]
+    cur = levels[0]
+    for _ in range(s.bit_length() - 1):
+        cur = 0.25 * (
+            cur[0::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 0::2] + cur[1::2, 1::2]
+        )
+        levels.append(cur.astype(np.float32))
+    return levels
+
+
+def build_ragged_pyramid(images: Sequence[np.ndarray]) -> RaggedPyramid:
+    """Mixed-size pyramid: each (S_i, S_i, 3) f32 square power-of-two
+    texture keeps its native size. Per-texture mip chains (same box filter
+    and 13-texel quad layout as build_pyramid) flatten into one buffer;
+    per-(texture, level) offset/size tables index it. Levels past a
+    texture's native chain repeat its 1x1 tail, so a shared static Lmax
+    level axis needs no per-pixel chain-length clamp beyond table lookup.
+    """
+    imgs = [np.asarray(im, np.float32) for im in images]
+    for im in imgs:
+        s = im.shape[0]
+        assert s & (s - 1) == 0 and s > 0 and im.shape[:2] == (s, s), (
+            f"textures must be square power-of-two, got {im.shape}"
+        )
+    lmax = max(im.shape[0].bit_length() for im in imgs)
+
+    flats, quads = [], []
+    offs = np.zeros((len(imgs), lmax), np.int64)
+    sizes = np.zeros((len(imgs), lmax), np.int64)
+    cursor = 0
+    for t, im in enumerate(imgs):
+        levels = _mip_levels(im)
+        q = _pack_quads(levels)
+        flats.append(np.concatenate([lv.reshape(-1, 3) for lv in levels]))
+        quads.append(q)
+        lofs = cursor
+        for k in range(lmax):
+            kk = min(k, len(levels) - 1)
+            sizes[t, k] = levels[kk].shape[0]
+            offs[t, k] = lofs + sum(
+                levels[j].shape[0] ** 2 for j in range(kk)
+            )
+        cursor += q.shape[0]
+
+    return RaggedPyramid(
+        data=np.concatenate(flats, axis=0),
+        quads=np.concatenate(quads, axis=0),
+        level_offset=offs.astype(np.int32),
+        level_size=sizes.astype(np.int32),
+        base_size_per_tex=np.asarray(
+            [im.shape[0] for im in imgs], np.int32
+        ),
+        num_levels=lmax,
     )
 
 

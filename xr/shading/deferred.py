@@ -325,11 +325,15 @@ def _sample_texture(
     dvdx = (lod6[4] - v * lod6[0]) * invD
     dvdy = (lod6[5] - v * lod6[1]) * invD
 
-    lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, pyr.base_size, xp)
-
     tex_id = scene.materials.tex_id[mat_id]
     has_tex = tex_id >= 0
     tid_safe = xp.where(has_tex, tex_id, 0)
+
+    if hasattr(pyr, "base_size_per_tex"):  # RaggedPyramid: per-pixel scale
+        base = pyr.base_size_per_tex[tid_safe].astype(xp.float32)
+    else:
+        base = pyr.base_size
+    lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, base, xp)
     addr = None
     if scene.materials.tex_addr is not None:
         addr = scene.materials.tex_addr[mat_id]
