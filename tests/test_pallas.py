@@ -145,3 +145,18 @@ def test_pallas_painters_order_tpu():
     t_j, z_j, _ = jb.visibility_binned(tri, cfg)
     t_p, z_p, _ = pst.visibility_binned(tri, cfg)
     assert (np.asarray(t_j) == np.asarray(t_p)).all()
+
+
+@pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
+def test_pallas_stream_z_earlyout_interpret(preset_fn):
+    """The z-min occlusion early-out must never change results (it only
+    skips records that provably cannot win)."""
+    from xr.raster import pallas_stream as pst
+
+    tri, cfg = _tri_and_cfg(preset_fn())
+    eo = dataclasses.replace(cfg, z_earlyout=True)
+    t_j, z_j, _ = jb.visibility_binned(tri, cfg)
+    t_p, z_p, of_p = pst.visibility_binned(tri, eo, interpret=True)
+    assert int(of_p) == 0
+    assert (np.asarray(t_j) == np.asarray(t_p)).all()
+    assert (np.asarray(z_j) == np.asarray(z_p)).all()

@@ -41,14 +41,15 @@ def pack_tri_records(tri: TriBuf, yo):
              int32 (c_k = e_k(0,0), |c_k| <= 2*span^2 by the fixedpoint
              bound; intermediate wraparound is modular-safe)
       9..11  z0 z1 z2 (f32 bits)
-      12     triangle id
-      13     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
-      14     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
-      15     packed x bbox: (bx0+32768) | (bx1+32768) << 16
-      16     z_min = min(z0, z1, z2) (f32 bits) — occlusion early-out: a
+      12     z_min = min(z0, z1, z2) (f32 bits) — occlusion early-out: a
              record whose nearest vertex is strictly behind every pixel of
              the tile's current z-buffer cannot win any (z, id) lex-min
-             test, so the kernels skip its band loop entirely
+             test, so the kernels skip its band loop entirely. Adjacent to
+             z so the stream prep's f32 window is ONE contiguous slice.
+      13     triangle id
+      14     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
+      15     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
+      16     packed x bbox: (bx0+32768) | (bx1+32768) << 16
     """
     C = tri.capacity
     xs = tri.xs
@@ -83,7 +84,7 @@ def pack_tri_records(tri: TriBuf, yo):
         [jnp.stack(cols, axis=1), zbits]
         + [
             v.reshape(C, 1)
-            for v in (jnp.arange(C, dtype=jnp.int32), of, byp, bxp, zminb)
+            for v in (zminb, jnp.arange(C, dtype=jnp.int32), of, byp, bxp)
         ],
         axis=1,
     )
@@ -102,9 +103,9 @@ def gather_field_records(lists, packed, C: int):
     safe = jnp.minimum(lists, C - 1)
     rows = packed[safe]
     empty = (lists >= C)[..., None]
-    rows = jnp.where(empty & (jnp.arange(NFIELDS) == 12), BG, rows)
+    rows = jnp.where(empty & (jnp.arange(NFIELDS) == 13), BG, rows)
     fields = [rows[..., k] for k in range(NFIELDS)]
-    for k in (9, 10, 11, 16):
+    for k in (9, 10, 11, 12):
         fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
     return fields
 
@@ -151,7 +152,7 @@ def _raster_scalar_records(
         if zmax is not None:
             assert depth_test, "z early-out requires depth testing"
 
-            @pl.when(read(16, k) <= zmax)
+            @pl.when(read(12, k) <= zmax)
             def _():
                 tri_work(k)
             return 0
@@ -171,9 +172,9 @@ def _raster_scalar_records(
         z0 = read(9, k)
         z1 = read(10, k)
         z2 = read(11, k)
-        tri_id = read(12, k)
-        of = read(13, k)
-        byp = read(14, k)
+        tri_id = read(13, k)
+        of = read(14, k)
+        byp = read(15, k)
 
         o0 = of & 1
         o1 = (of >> 1) & 1
@@ -186,7 +187,7 @@ def _raster_scalar_records(
         inv = jnp.where(area2v != 0.0, 1.0 / area2v, 0.0).astype(jnp.float32)
 
         if x_test:
-            bxp = read(15, k)
+            bxp = read(16, k)
             bx0 = (bxp & 0xFFFF) - _B16
             bx1 = ((bxp >> 16) & 0xFFFF) - _B16
             x_overlap = (bx1 >= tile_px0) & (bx0 <= tile_px1)

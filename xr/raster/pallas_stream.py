@@ -67,8 +67,8 @@ def _vis_kernel(
     bbase_ref,  # prefetch SMEM (NB,) block -> first record offset in its tile
     counts_ref,  # prefetch SMEM (ntiles,)
     lcount_ref,  # prefetch SMEM (1,)
-    reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 12..14, record-major
-    recf_ref,  # SMEM (1, 1, BLK*4) — z0..z2, z_min (f32)
+    reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 13..15, record-major
+    recf_ref,  # SMEM (1, 1, BLK*nf32) — z0..z2 (+ z_min iff z_earlyout)
     *lrefs_and_outs,  # NFIELDS large SMEM refs, then tid_ref, zb_ref (VMEM)
     th: int,
     tw: int,
@@ -102,17 +102,21 @@ def _vis_kernel(
 
     n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, blk)
 
+    nf32 = 4 if z_earlyout else 3
+
     def read(f, k):
         # Mosaic has no scalar bitcast, so int and f32 fields arrive in
         # separate SMEM windows (split from ONE HBM gather on the XLA side);
-        # int fields 0..8 and 12..14 pack record-major into 12 slots.
-        # Field 15 (bxpacked) is NOT packed — binned records always overlap
+        # int fields 0..8 and 13..15 pack record-major into 12 slots.
+        # Field 16 (bxpacked) is NOT packed — binned records always overlap
         # their tile in x, so only the large-bucket path (full-field SMEM
-        # arrays) ever reads it.
-        assert f != 15, "bxpacked is not packed into the stream records"
-        if f in (9, 10, 11, 16):
-            return recf_ref[0, 0, k * 4 + (3 if f == 16 else f - 9)]
-        slot = f if f < 9 else f - 3
+        # arrays) ever reads it. z_min (12) is packed only when the
+        # early-out is on.
+        assert f != 16, "bxpacked is not packed into the stream records"
+        if f in (9, 10, 11, 12):
+            assert f != 12 or z_earlyout
+            return recf_ref[0, 0, k * nf32 + (f - 9)]
+        slot = f if f < 9 else f - 4
         return reci_ref[0, 0, k * 12 + slot]
 
     # Occlusion bound for the early-out (see _raster_scalar_records): an
@@ -180,19 +184,20 @@ def visibility_binned(
     ids = jnp.where(seg_ok, picked, C)  # (NB, BLK)
     rows = packed[jnp.minimum(ids, C - 1)]  # (NB, BLK, NFIELDS) — THE gather
     rows = jnp.where(
-        (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 12), BG, rows
+        (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 13), BG, rows
     )
-    # int fields 0..8 (edge planes) + 12..14 (id, oflags, bypacked),
-    # record-major, 12 slots; field 15 (bxpacked) is skipped — binned
+    # int fields 0..8 (edge planes) + 13..15 (id, oflags, bypacked),
+    # record-major, 12 slots; field 16 (bxpacked) is skipped — binned
     # records always overlap their tile in x
     rec_i = jnp.concatenate(
-        [rows[..., 0:9], rows[..., 12:15]], axis=-1
+        [rows[..., 0:9], rows[..., 13:16]], axis=-1
     ).reshape(NB, 1, BLK * 12)
-    # f32 fields z0 z1 z2 z_min, record-major, 4 slots
+    # f32 fields: ONE contiguous slice — z0 z1 z2 (+ z_min under the
+    # early-out), record-major
+    nf32 = 4 if config.z_earlyout else 3
     rec_f = jax.lax.bitcast_convert_type(
-        jnp.concatenate([rows[..., 9:12], rows[..., 16:17]], axis=-1),
-        jnp.float32,
-    ).reshape(NB, 1, BLK * 4)
+        rows[..., 9 : 9 + nf32], jnp.float32
+    ).reshape(NB, 1, BLK * nf32)
 
     # ---- large bucket (shared by all tiles) ------------------------------
     large = gather_field_records(b.large_ids, packed, C)
@@ -212,7 +217,7 @@ def visibility_binned(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, BLK * 4),
+                (1, 1, BLK * nf32),
                 lambda bi, bt_ref, bb, cn, lc: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
