@@ -35,7 +35,7 @@ from xr.core.types import (
     RenderConfig,
     Scene,
 )
-from xr.pipeline.geometry import TriBuf, _sort_compact_ids
+from xr.pipeline.geometry import TriBuf, _is_np, _sort_compact_ids
 from xr.raster import common as rc
 
 
@@ -95,34 +95,53 @@ def composite_transparent(
     for c0 in range(0, cap, ch):
         sl = ids[c0 : c0 + ch]  # (ch,) record indices, ascending
         ok = slot_valid[c0 : c0 + ch]
-        xs = tri.xs[sl][:, None, None, :]  # (ch, 1, 1, 3)
-        ys = tri.ys[sl][:, None, None, :]
-        z = tri.z[sl][:, None, None, :]
-        # one coverage evaluation feeds BOTH the mask/depth and the
-        # barycentric interpolation (exactly rc.tri_fragment's math)
-        cov, (e0, e1, e2) = fp.coverage(xs, ys, px[None], py[None], xp)
-        zf = rc.fragment_depth(e0, e1, e2, z, xp)  # (ch, H, W)
-        # read-only depth test against the opaque buffer (strict <: a
-        # blended fragment exactly on an opaque surface is occluded)
-        mask = (
-            cov
-            & rc.depth_range_mask(zf, xp)
-            & ok[:, None, None]
-            & (zf < depth[None])
-        )
 
-        frag = _fragment_colors(tri, sl, scene, config, eye, e0, e1, e2, xp)
-        a = alpha[tri.mat_id[sl]]  # (ch,)
+        def chunk(color, sl=sl, ok=ok):
+            xs = tri.xs[sl][:, None, None, :]  # (ch, 1, 1, 3)
+            ys = tri.ys[sl][:, None, None, :]
+            z = tri.z[sl][:, None, None, :]
+            # one coverage evaluation feeds BOTH the mask/depth and the
+            # barycentric interpolation (exactly rc.tri_fragment's math)
+            cov, (e0, e1, e2) = fp.coverage(xs, ys, px[None], py[None], xp)
+            zf = rc.fragment_depth(e0, e1, e2, z, xp)  # (ch, H, W)
+            # read-only depth test against the opaque buffer (strict <: a
+            # blended fragment exactly on an opaque surface is occluded)
+            mask = (
+                cov
+                & rc.depth_range_mask(zf, xp)
+                & ok[:, None, None]
+                & (zf < depth[None])
+            )
 
-        # back-to-front over: sequential WITHIN the chunk too (composite
-        # order is semantics; chunking only batches the fragment math)
-        for j in range(sl.shape[0]):
-            aj = a[j]
-            m = mask[j][..., None]
-            color = xp.where(
-                m,
-                (color * (1.0 - aj) + frag[j] * aj).astype(xp.float32),
-                color,
+            frag = _fragment_colors(
+                tri, sl, scene, config, eye, e0, e1, e2, xp
+            )
+            a = alpha[tri.mat_id[sl]]  # (ch,)
+
+            # back-to-front over: sequential WITHIN the chunk too
+            # (composite order is semantics; chunking only batches the
+            # fragment math)
+            for j in range(sl.shape[0]):
+                aj = a[j]
+                m = mask[j][..., None]
+                color = xp.where(
+                    m,
+                    (color * (1.0 - aj) + frag[j] * aj).astype(xp.float32),
+                    color,
+                )
+            return color
+
+        # capacity is static but the live transparent count is not: skip
+        # whole dead chunks at runtime (lax.cond executes one branch), so
+        # a scene with 4 transparent tris pays for 1 chunk, not cap/ch
+        if _is_np(xp):
+            if bool(ok.any()):
+                color = chunk(color)
+        else:
+            import jax
+
+            color = jax.lax.cond(
+                ok.any(), chunk, lambda c: c, color
             )
     return color.astype(xp.float32), overflow
 
