@@ -163,3 +163,52 @@ def test_shade_hook_custom_pixel_stage():
         np.asarray(of.color).astype(int) - np.asarray(hooked.color).astype(int)
     ).max()
     assert diff <= 1
+
+
+def test_shade_hook_frag_context():
+    """Rich shade_hooks declaring a `frag` parameter receive the per-pixel
+    G-buffer (depth/uv/world/normal per mode) — enough to express fog or a
+    normal-visualizer, not just color grading (the reference's pixel shader
+    sees its interstage registers)."""
+    import numpy as np
+
+    from xr.cpu_ref import render_frame
+    from xr.scene.presets import config4_phong, small_preset
+
+    p = small_preset(config4_phong(), 96, 64, bin_capacity=8192,
+                     shadow_map_size=0)
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+
+    seen = {}
+
+    def fog_hook(color, scene_, mat_id, xp, frag=None):
+        assert frag is not None and frag.depth is not None
+        assert frag.world is not None and frag.normal is not None
+        assert frag.uv is not None
+        seen["ok"] = True
+        f = xp.clip(frag.depth * 1.5, 0.0, 1.0)[..., None]
+        return color * (1.0 - f) + f  # fog to white with depth
+
+    plain = render_frame(scene, cam, p.config)
+    fogged = render_frame(scene, cam, p.config, shade_hook=fog_hook)
+    assert seen.get("ok")
+    assert (fogged.color != plain.color).any()
+    # far pixels are fogged brighter relative to the plain render
+    cov = plain.depth < 1.0
+    far = cov & (plain.depth > np.median(plain.depth[cov]))
+    assert (
+        fogged.color[far].astype(int).sum()
+        > plain.color[far].astype(int).sum()
+    )
+
+    # device parity through the jitted path (shared code)
+    import jax
+
+    from xr.app.renderer import Renderer
+
+    scene_j = jax.tree_util.tree_map(np.asarray, scene)
+    r = Renderer(scene_j, p.config, shade_hook=fog_hook)
+    df = r.readback(r.step(scene_j, cam))
+    diff = np.abs(df.color.astype(int) - fogged.color.astype(int))
+    assert diff.max() <= 1

@@ -72,9 +72,13 @@ def render_step(
     the reference's HLSL pixel shader (SURVEY.md §3.4). Called as
     `hook(color, scene, mat_id, xp)` with the (N, 3) linear pre-resolve
     color of every covered pixel (mat_id is the (N,) per-pixel material
-    index, or None in flat/Gouraud modes); must return (N, 3). Traced into
-    the frame program, so swapping the hook and re-jitting IS the
-    reference's PSO rebuild (examples/watch.py drives this live).
+    index, or None in flat/Gouraud modes); must return (N, 3). Declare a
+    `frag` parameter to also receive the per-pixel G-buffer
+    (xr.shading.deferred.Frag: bg/depth/uv/world/normal as the mode
+    provides them) — enough to write fog, normal-viz, or any
+    position-dependent shader. Traced into the frame program, so swapping
+    the hook and re-jitting IS the reference's PSO rebuild
+    (examples/watch.py drives this live).
     """
     cap = capacity or clip_capacity(scene.mesh.num_triangles, config)
     if (
@@ -149,6 +153,7 @@ def render_step(
         light_viewproj=light_viewproj,
         xp=jnp,
         shade_hook=shade_hook,
+        depth=depth,
     )
     if config.blend:
         from xr.shading.blend import composite_transparent

@@ -148,6 +148,7 @@ def render_frame(
         light_viewproj=light_viewproj,
         xp=np,
         shade_hook=shade_hook,
+        depth=depth,
     )
     if config.blend:
         rgb, blend_of = blend.composite_transparent(

@@ -129,6 +129,7 @@ def render_step_sharded(
                 y_offset=y_off,
                 xp=jnp,
                 shade_hook=shade_hook,
+                depth=depth,
             )
             color = sm.resolve_u8(rgb, jnp)
 

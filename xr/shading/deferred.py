@@ -28,8 +28,34 @@ from xr.core.types import (
     RenderConfig,
     Scene,
 )
+from typing import Any, NamedTuple, Optional
+
 from xr.pipeline.geometry import TriBuf
 from xr.raster.common import BG_TRI_ID, pixel_grids
+
+
+class Frag(NamedTuple):
+    """Per-pixel G-buffer exposed to rich shade_hooks (flat (N,) layout;
+    the reference pixel shader's interstage inputs — SURVEY.md §3.4).
+    Fields are None when the active mode doesn't produce them."""
+
+    bg: Any  # (N,) bool — background mask
+    depth: Optional[Any] = None  # (N,) f32, 1.0 = background
+    uv: Optional[Any] = None  # ((N,), (N,)) perspective-correct u, v
+    world: Optional[Any] = None  # (N, 3) world position (phong)
+    normal: Optional[Any] = None  # (N, 3) unit world normal (phong)
+
+
+def _hook_wants_frag(hook) -> bool:
+    import inspect
+
+    try:
+        params = inspect.signature(hook).parameters
+    except (TypeError, ValueError):
+        return False
+    return "frag" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    )
 
 
 def shade_deferred(
@@ -45,6 +71,7 @@ def shade_deferred(
     y_offset: int = 0,
     xp=np,
     shade_hook=None,
+    depth=None,
 ):
     """Shade a visibility buffer into (H, W, 3) f32 linear color.
 
@@ -52,9 +79,16 @@ def shade_deferred(
     Internally shades flat (H*W,) pixel vectors (layout-friendly gathers).
     px, py: optional precomputed fixed-point pixel grids; y_offset shifts the
     pixel rows for sharded framebuffer bands (SURVEY.md §5.8).
-    shade_hook: optional `hook(color, scene, mat_id, xp) -> (N, 3)` custom
-    pixel-shader stage applied to the pre-background linear color (the
-    reference's editable-HLSL analog; see render_step).
+    shade_hook: optional custom pixel-shader stage applied to the
+    pre-background linear color (the reference's editable-HLSL analog; see
+    render_step). Two forms:
+      hook(color, scene, mat_id, xp) -> (N, 3)                  (v1)
+      hook(color, scene, mat_id, xp, frag=Frag) -> (N, 3)       (declare a
+        `frag` parameter to receive the full per-pixel G-buffer: Frag
+        fields bg (N,) bool, depth (N,) f32 or None, uv ((N,),(N,)) or
+        None, world (N,3) or None, normal (N,3) or None — what exists
+        depends on config.mode, like the reference's interstage registers)
+    depth: optional (H, W) resolved depth (1.0 background) for hook Frag.
     """
     if config.mode == MODE_DEPTH_ONLY:
         raise ValueError("depth-only pass has no shading")
@@ -72,9 +106,21 @@ def shade_deferred(
     def out(color_flat):
         return color_flat.reshape(H, W, 3)
 
-    def finish(color, mat_id=None):
+    wants_frag = shade_hook is not None and _hook_wants_frag(shade_hook)
+
+    def finish(color, mat_id=None, uv=None, world=None, normal=None):
         if shade_hook is not None:
-            color = shade_hook(color, scene, mat_id, xp)
+            if wants_frag:
+                frag = Frag(
+                    bg=bg,
+                    depth=depth.reshape(-1) if depth is not None else None,
+                    uv=uv,
+                    world=world,
+                    normal=normal,
+                )
+                color = shade_hook(color, scene, mat_id, xp, frag=frag)
+            else:
+                color = shade_hook(color, scene, mat_id, xp)
         return out(_with_bg(color, bg, config, xp))
 
     bg = tid == BG_TRI_ID
@@ -190,7 +236,7 @@ def shade_deferred(
         texc = _sample_texture(
             scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
         )
-        return finish(texc * lit, mat_id)
+        return finish(texc * lit, mat_id, uv=(u, v))
 
     assert config.mode == MODE_PHONG
     world = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
@@ -224,7 +270,7 @@ def shade_deferred(
         shadow_factor=shadow,
         xp=xp,
     )
-    return finish(color, mat_id)
+    return finish(color, mat_id, uv=(u, v), world=world, normal=normal)
 
 
 def _is_np(xp) -> bool:
