@@ -332,10 +332,20 @@ def shadow_test(shadow_depth, world_pos, light_viewproj, bias, xp=np):
     ix = xp.clip(xp.floor(sx).astype(xp.int32), 0, ws - 1)
     iy = xp.clip(xp.floor(sy).astype(xp.int32), 0, hs - 1)
     flat = iy * ws + ix
-    if (hs * ws) % 2 == 0:
-        # fetch the 2-texel row containing the sample and select the half:
+    if (hs * ws) % 8 == 0:
+        # fetch the 8-texel row containing the sample and select the slot:
         # single-element gathers cost ~10 ns/texel on this TPU (21 ms/frame
-        # at 1080p for a 1024^2 map) while row gathers amortize (PERF.md)
+        # at 1080p for a 1024^2 map), and a 2-texel-row view of a 1024^2
+        # map still has 524k rows — past the table layout-flip threshold,
+        # where the gather degrades to element rate (~9 ms, round-3
+        # config4 trace). An 8-texel row view (131k rows) stays row-major:
+        # one amortized row gather + one relayout + fused selects (~5 ms).
+        r = shadow_depth.reshape(-1, 8)[flat >> 3]
+        s = flat & 7
+        d = r[..., 0]
+        for k in range(1, 8):
+            d = xp.where(s == k, r[..., k], d)
+    elif (hs * ws) % 2 == 0:
         r = shadow_depth.reshape(-1, 2)[flat >> 1]
         d = xp.where((flat & 1) == 1, r[..., 1], r[..., 0])
     else:

@@ -245,7 +245,14 @@ def shade_deferred(
     normal = normal / xp.maximum(nrm, 1e-12)
     u, v = attr(6), attr(7)
 
-    base = mats.base_color[mat_id]
+    # per-CHANNEL gathers from the tiny material table: a multi-column
+    # (N, 3) row gather pays the full padded-output tax (~3.7 ms + 1.4 ms
+    # relayout at 1080p) while single-column gathers from small tables
+    # lower to selects and the stack stays a dense fusion output — same
+    # values, ~5 ms cheaper per frame (config4 trace, PERF.md round 3)
+    base = xp.stack(
+        [mats.base_color[:, c][mat_id] for c in range(3)], axis=-1
+    )
     texc = _sample_texture(
         scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
     )
