@@ -52,3 +52,41 @@ def test_triangle_order_invariance():
     d_b = r_b.readback(r_b.step(_permuted(scene, perm), cam))
     assert (d_a.color == d_b.color).all(), "device depends on triangle order"
     assert (d_a.depth == d_b.depth).all()
+
+
+def test_medium_bin_class_bit_identical():
+    """Hierarchical medium binning (RenderConfig.medium_*) must be a pure
+    routing change: frames are bit-identical with the class enabled,
+    disabled, and with a tiny capacity that forces overflow back to the
+    large bucket."""
+    import dataclasses
+
+    import numpy as np
+
+    from xr.app.renderer import Renderer
+    from xr.scene.presets import config4_phong, small_preset
+
+    # medium-heavy scene: big cubes/spheres at 256x128 with small tiles
+    p = small_preset(
+        config4_phong(), 256, 128, tile_h=16, tile_w=32,
+        bin_capacity=8192, shadow_map_size=0, raster_path="binned",
+    )
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+
+    frames = {}
+    for name, over in (
+        ("on", {}),
+        ("off", {"medium_capacity": 0}),
+        ("overflowing", {"medium_capacity": 4}),
+        ("wide", {"medium_span": 16}),
+    ):
+        cfg = dataclasses.replace(p.config, **over)
+        r = Renderer(scene, cfg)
+        frames[name] = r.readback(r.step(scene, cam))
+
+    base = frames["off"]
+    assert int(base.stats["bin_overflow"]) == 0
+    for name, f in frames.items():
+        assert (f.color == base.color).all(), f"{name} color differs"
+        assert (f.depth == base.depth).all(), f"{name} depth differs"

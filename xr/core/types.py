@@ -93,6 +93,18 @@ class RenderConfig:
     # per-triangle bin fan-out statically bounded (SURVEY.md §7.3.1).
     large_capacity: int = 1024
 
+    # Hierarchical MEDIUM bin class: triangles spanning <= medium_span x
+    # medium_span tiles (but more than 2x2) are compacted (up to
+    # medium_capacity of them) and binned per tile with up to
+    # medium_span^2 (tile, id) pairs each, merged into the same scatter-
+    # free sort. Without it every such triangle lands in the global large
+    # bucket and is bbox-scanned by EVERY tile (983 larges x 510 tiles =
+    # 501k wasted scalar-kernel iterations/frame on the config-6
+    # courtyard). Overflow routes to the large bucket (never dropped).
+    # medium_capacity = 0 disables the class (round-2 behavior).
+    medium_span: int = 8
+    medium_capacity: int = 2048
+
     # Streaming-kernel global entry capacity, as a multiple of the post-clip
     # triangle capacity (total bin entries across ALL tiles; <= 4x by
     # construction, ~1.2x typical). Overflow is counted loudly.

@@ -233,8 +233,48 @@ def bin_triangles(
         ],
         axis=1,
     )  # (C, 4); sentinel tile == ntiles sorts last
-    keys = (pair_tile << idbits) | ids[:, None]
-    skeys = jnp.sort(keys.reshape(-1))
+    keys = ((pair_tile << idbits) | ids[:, None]).reshape(-1)
+
+    # ---- hierarchical MEDIUM class (RenderConfig.medium_*): tris spanning
+    # <= span x span tiles get REAL per-tile pairs instead of the global
+    # bucket (which every tile scans). Compact up to medium_capacity of
+    # them and emit span^2 masked pairs each into the SAME key sort — the
+    # per-tile segments stay id-ascending, and the per-pixel candidate
+    # sets are unchanged (the resolve is order-independent), so results
+    # are bit-identical to the bucket route.
+    span = config.medium_span
+    mcap = config.medium_capacity
+    medium = jnp.zeros_like(valid)
+    if mcap > 0:
+        from xr.pipeline.geometry import _sort_compact_ids
+
+        med_ok = (
+            valid & ~small & (tx1 - tx0 < span) & (ty1 - ty0 < span)
+        )
+        mid, _, mtotal = _sort_compact_ids(med_ok, mcap, jnp)
+        mlive = jnp.arange(mcap) < jnp.minimum(mtotal, mcap)
+        # tris selected into the medium class (first mcap in id order);
+        # the remainder keeps the large-bucket route (never dropped)
+        mrank = jnp.cumsum(med_ok.astype(jnp.int32)) - 1
+        medium = med_ok & (mrank < mcap)
+
+        ox = jnp.arange(span, dtype=jnp.int32)
+        tile_x = tx0[mid][:, None] + ox[None]  # (M, span)
+        tile_y = ty0[mid][:, None] + ox[None]
+        okx = tile_x <= tx1[mid][:, None]
+        oky = tile_y <= ty1[mid][:, None]
+        mtile = tile_y[:, :, None] * ntx + tile_x[:, None, :]  # (M, s, s)
+        mmask = (
+            oky[:, :, None] & okx[:, None, :] & mlive[:, None, None]
+        )
+        mkeys = jnp.where(
+            mmask,
+            (mtile << idbits) | mid[:, None, None],
+            (ntiles << idbits),
+        ).reshape(-1)
+        keys = jnp.concatenate([keys, mkeys])
+
+    skeys = jnp.sort(keys)
     stile = skeys >> idbits
     sid = (skeys & ((1 << idbits) - 1)).astype(jnp.int32)
 
@@ -248,10 +288,11 @@ def bin_triangles(
     gidx = jnp.clip(starts[:, None] + col[None, :], 0, skeys.shape[0] - 1)
     lists = jnp.where(col[None, :] < counts[:, None], sid[gidx], LIST_EMPTY)
 
-    # global large bucket (sorted ascending => resolve determinism for free)
-    lkeys = jnp.where(valid & ~small, ids, LIST_EMPTY)
+    # global large bucket (sorted ascending => resolve determinism for
+    # free); medium-classified tris are excluded — they live in the lists
+    lkeys = jnp.where(valid & ~small & ~medium, ids, LIST_EMPTY)
     lsorted = jnp.sort(lkeys)
-    large_count_raw = jnp.sum((valid & ~small).astype(jnp.int32))
+    large_count_raw = jnp.sum((valid & ~small & ~medium).astype(jnp.int32))
     large_count = jnp.minimum(large_count_raw, lcap)
     if lcap >= C:
         large_ids = jnp.concatenate(
