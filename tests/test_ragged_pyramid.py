@@ -89,3 +89,49 @@ def test_ragged_end_to_end_parity():
     assert ((df.depth == 1.0) == (of.depth == 1.0)).all()
     diff = np.abs(df.color.astype(int) - of.color.astype(int))
     assert diff.max() <= 1, f"ragged textured parity: max {diff.max()}"
+
+
+def test_closed_form_level_math_matches_tables():
+    """sample_trilinear derives level sizes/offsets in CLOSED FORM
+    (sizes are power-of-two shifts; a finest-first chain's row offset is
+    the geometric sum (4B^2-4s^2)/3 — PERF.md round 3, replacing ~1 ms/
+    frame per-pixel select chains). Pin the formula against the tables
+    build_ragged_pyramid actually packs, for mixed sizes INCLUDING the
+    repeated 1x1 tail levels."""
+    imgs = [noise_texture(128, seed=1), checkerboard(16),
+            noise_texture(512, seed=2), checkerboard(32)]
+    rag = build_ragged_pyramid(imgs)
+    L = rag.num_levels
+    for t in range(len(imgs)):
+        B = int(rag.base_size_per_tex[t])
+        tex_base = int(rag.level_offset[t, 0])
+        for k in range(L):
+            s = max(B >> k, 1)
+            assert int(rag.level_size[t, k]) == s
+            off = tex_base + (4 * (B * B - s * s)) // 3
+            assert int(rag.level_offset[t, k]) == off, (t, k)
+
+
+def test_identity_layout_stream_cap_warns():
+    """The identity record layout with an unset stream_entry_cap silently
+    multiplies stream-kernel block count by capacity/live-tris; geometry()
+    must warn loudly (ADVICE round 2)."""
+    import dataclasses
+    import warnings
+
+    from xr.pipeline.geometry import geometry, clip_capacity
+    from xr.scene.presets import config1_cube
+    from xr.core import math3d as m3
+
+    p = config1_cube()
+    cfg = dataclasses.replace(
+        p.config, backend="pallas_stream", clip_expand=50.0
+    )
+    cam, mm = p.animate(0.0, np)
+    scene = p.scene.replace(model_matrices=mm)
+    view, proj = m3.camera_matrices(cam, cfg.width / cfg.height, np)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        geometry(scene, view, proj, cfg, np,
+                 capacity=clip_capacity(scene.mesh.num_triangles, cfg))
+    assert any("stream_entry_cap" in str(x.message) for x in w)
