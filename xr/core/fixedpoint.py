@@ -103,24 +103,6 @@ def coverage(xs, ys, px, py, xp=np):
     return accepts, tuple(es)
 
 
-def edges_from_cols(xcols, ycols, px, py, xp=np):
-    """The (e0, e1, e2) that coverage() returns, from per-corner COLUMN
-    arrays (x0, x1, x2), (y0, y1, y2) instead of (..., 3) blocks.
-
-    Bit-identical int32 expressions and op order (e_k is the edge OPPOSITE
-    vertex k, i.e. edge v_{k+1} -> v_{k+2}); the column form exists because
-    slicing a (N, 3) block out of a wide gathered record table makes XLA
-    materialize a lane-padded (N, 3) array (~3 ms/frame at 1080p, per-op
-    trace PERF.md round 3), while single-column consumers stay fused."""
-    es = []
-    for k in (1, 2, 0):
-        k1 = (k + 1) % 3
-        a = ycols[k1] - ycols[k]
-        b = xcols[k] - xcols[k1]
-        es.append(a * (px - xcols[k]) + b * (py - ycols[k]))
-    return tuple(es)
-
-
 def barycentrics_f32(e0, e1, e2, xp=np):
     """Screen-space barycentric weights from exact integer edge values.
 

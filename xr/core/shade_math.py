@@ -312,12 +312,6 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     p10 = parent_q(1, 0)
     p11 = parent_q(1, 1)
 
-    # pin everything the three channel fusions SHARE (see _pin): the
-    # selected parent quads and the bilinear/level fractions
-    (p00, p01, p10, p11, fu0, fv0, fu1, fv1, frac) = _pin(
-        (p00, p01, p10, p11, fu0, fv0, fu1, fv1, frac), xp
-    )
-
     chans = []
     for shift in (0, 8, 16):
         c0 = bilerp_ch(
@@ -337,27 +331,6 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
 def _floor_div2(a, xp):
     """Floor division by 2 for possibly-negative int32 (arithmetic shift)."""
     return a >> 1
-
-
-def _pin(vals, xp):
-    """Materialize shared per-pixel intermediates ONCE (identity values).
-
-    XLA's fusion heuristic otherwise rematerializes the whole producing
-    chain inside EVERY consumer fusion — after the closed-form level math
-    landed, the three trilinear channel fusions each recomputed the full
-    LOD/fraction chain (+1.5 ms/frame at 1080p, per-op trace PERF.md
-    round 3). An optimization_barrier is a fusion boundary, not a layout
-    hint, so this one actually works (unlike the layout pins — PERF.md
-    round 2)."""
-    if _is_np_mod(xp):
-        return vals
-    import jax
-
-    return jax.lax.optimization_barrier(vals)
-
-
-def _is_np_mod(xp) -> bool:
-    return xp is np
 
 
 # ---------------------------------------------------------------------------

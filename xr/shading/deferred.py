@@ -160,8 +160,14 @@ def shade_deferred(
         xg = [tri.xs[:, i][t] for i in range(3)]
         yg = [tri.ys[:, i][t] for i in range(3)]
 
+        def edge(k):
+            k1 = (k + 1) % 3
+            a = yg[k1] - yg[k]
+            b = xg[k] - xg[k1]
+            return a * (px - xg[k]) + b * (py - yg[k])
+
         # e_k is the edge value OPPOSITE vertex k (fp.coverage order)
-        e0, e1, e2 = fp.edges_from_cols(xg, yg, px, py, xp)
+        e0, e1, e2 = edge(1), edge(2), edge(0)
         l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
 
         def interp(g):  # same product set / add order as the wide path
@@ -190,13 +196,10 @@ def shade_deferred(
             tri, A, xp, config, uv_slot, scene=scene, mode=config.mode
         )
         rec = table[t]  # (H*W, K)
-        # single-column bitcasts: a (N, 3) block slice of the record makes
-        # XLA materialize a lane-padded array + slice-reduce fusions
-        # (~3 ms/frame at config6 scale, PERF.md round 3)
-        xcols = tuple(_bits_to_i32(rec[..., i], xp) for i in range(3))
-        ycols = tuple(_bits_to_i32(rec[..., 3 + i], xp) for i in range(3))
+        xs = _bits_to_i32(rec[..., 0:3], xp)
+        ys = _bits_to_i32(rec[..., 3:6], xp)
 
-        e0, e1, e2 = fp.edges_from_cols(xcols, ycols, px, py, xp)
+        _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
         l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
 
         # perspective-correct interpolation with EXPLICIT per-column math:
