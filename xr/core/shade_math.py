@@ -137,7 +137,7 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size, xp=np):
 
 
 def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
-                     addr=None, tex_size=None, tex_base=None):
+                     addr=None):
     """Perspective-correct trilinear texture sample.
 
     pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
@@ -150,16 +150,6 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     no bilinear footprint ever crosses an edge and the wrap-packed quad
     layout stays valid — border filtering is clamped at the l1 half-texel
     (a documented, oracle-shared approximation of per-level clamping).
-    tex_size / tex_base: optional precomputed (...,) i32 per-pixel native
-    size and start row of the texture (RaggedPyramid only) — the deferred
-    pass feeds these from record-table columns so this function does ZERO
-    per-pixel table lookups; if omitted they cost one tiny-table gather
-    each. Level sizes/offsets themselves are CLOSED-FORM integer math
-    (sizes are power-of-two shifts; a finest-first mip chain's row offset
-    is the geometric sum (4*B^2 - 4*s_k^2)/3, exactly divisible, with the
-    1x1 tail-repeat falling out of s_k = max(B >> k, 1)) — per-pixel
-    gathers from the tiny level tables lowered to ~1 ms select chains over
-    every framebuffer pixel (per-op trace, PERF.md round 3).
 
     Implementation: sample BOTH bracketing mip levels for every pixel by
     gathering from the flattened QUAD pyramid (one gather fetches the whole
@@ -176,40 +166,17 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     l0 = l0.astype(xp.int32)
     l1 = xp.minimum(l0 + 1, L - 1)
 
-    one = xp.int32(1)
-    three = xp.int32(3)
-    four = xp.int32(4)
-
     ragged = hasattr(pyramid, "base_size_per_tex")  # RaggedPyramid
     if ragged:
-        if tex_size is None:
-            tex_size = xp.asarray(pyramid.base_size_per_tex)[tex_id]
-        if tex_base is None:
-            tex_base = xp.asarray(pyramid.level_offset)[:, 0][tex_id]
-        B2 = tex_size * tex_size
+        ls_flat = xp.asarray(pyramid.level_size).reshape(-1)
+        lo_flat = xp.asarray(pyramid.level_offset).reshape(-1)
 
         def size_at(lk):
-            return xp.maximum(xp.right_shift(tex_size, lk), one)
+            return ls_flat[tex_id * L + lk]
 
         def qbase(lk):
-            s = size_at(lk)
-            return tex_base + (four * (B2 - s * s)) // three
-    elif (pyramid.base_size >> (L - 1)) >= 1:
-        # full (or truncated) chain, no 1x1 tail repeat: closed form with
-        # STATIC base — zero per-pixel table lookups
-        base = xp.int32(pyramid.base_size)
-        B2s = xp.int32(pyramid.base_size * pyramid.base_size)
-        P = pyramid.quads.shape[1]
-
-        def size_at(lk):
-            return xp.right_shift(base, lk)
-
-        def qbase(lk):
-            s = size_at(lk)
-            return tex_id * P + (four * (B2s - s * s)) // three
+            return lo_flat[tex_id * L + lk]
     else:
-        # over-deep chain (levels clamped at 1x1 occupy +1 row each, which
-        # the geometric closed form cannot express): keep the level tables
         base = pyramid.base_size
         sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)
         offsets = xp.asarray(
@@ -357,13 +324,14 @@ def shadow_test(shadow_depth, world_pos, light_viewproj, bias, xp=np):
     sx = (ndc_x * 0.5 + 0.5) * ws
     sy = (0.5 - ndc_y * 0.5) * hs
     # sanitize before the f32->i32 cast: background pixels carry garbage
-    # world positions whose NaN/inf — or merely out-of-i32-range finite
-    # values — survive to sx/sy, and casting those to int is undefined
-    # (and differs between numpy and XLA; numpy also warns). Clip in f32
-    # FIRST so every cast input is in-range; the result is masked by
-    # `inside` below either way; this just pins the bits.
+    # world positions whose NaN/inf survive to sx/sy, and a NaN->int cast
+    # is undefined (and differs between numpy and XLA). The result is
+    # masked by `inside` below either way; this just pins the bits.
     sx = xp.nan_to_num(sx, nan=0.0, posinf=0.0, neginf=0.0)
     sy = xp.nan_to_num(sy, nan=0.0, posinf=0.0, neginf=0.0)
+    # clip in f32 BEFORE the int cast: a finite but out-of-int32-range
+    # float -> int32 cast is undefined (and warns under numpy); clipping
+    # first pins the bits identically on both backends.
     ix = xp.clip(xp.floor(sx), 0.0, float(ws - 1)).astype(xp.int32)
     iy = xp.clip(xp.floor(sy), 0.0, float(hs - 1)).astype(xp.int32)
     flat = iy * ws + ix

@@ -313,41 +313,26 @@ def _swap_v12(arr, flip, xp):
 def _project_snap(fpos, fattr, config: RenderConfig, xp):
     """Project clip-space triangles to snapped screen ints + setup culls.
 
-    fpos: (..., 3, 4) — or a 3-tuple of per-corner (..., 4) arrays (the
-    geometry stage's per-corner gather shape; identical math per element,
-    and the corner axis only materializes once, as dense column stacks).
-    fattr: (..., 3, A).
+    fpos: (..., 3, 4); fattr: (..., 3, A).
     Returns (xs, ys, z, inv_w, attr_w, valid), leading shape preserved.
     Op order here is the binding f32 sequence (oracle == device,
     SURVEY.md §7.3.3).
     """
     sub = config.subpixel
-    corners = (
-        fpos
-        if isinstance(fpos, tuple)
-        else tuple(fpos[..., k, :] for k in range(3))
-    )
+    w = xp.maximum(fpos[..., 3], 1e-12)
+    inv_w = (1.0 / w).astype(xp.float32)
+    ndc_x = fpos[..., 0] * inv_w
+    ndc_y = fpos[..., 1] * inv_w
+    z = (fpos[..., 2] * inv_w).astype(xp.float32)
+    sx = (ndc_x * 0.5 + 0.5) * config.width
+    sy = (0.5 - ndc_y * 0.5) * config.height
+    # clamp only affects tris already outside the guard band (they are
+    # culled by the validity mask); keeps the f32->i32 snap well-defined
     lim = float(8 * max(config.width, config.height) + 64)
-    xs_c, ys_c, z_c, iw_c = [], [], [], []
-    for cp in corners:
-        w = xp.maximum(cp[..., 3], 1e-12)
-        inv_w = (1.0 / w).astype(xp.float32)
-        ndc_x = cp[..., 0] * inv_w
-        ndc_y = cp[..., 1] * inv_w
-        z_c.append((cp[..., 2] * inv_w).astype(xp.float32))
-        sx = (ndc_x * 0.5 + 0.5) * config.width
-        sy = (0.5 - ndc_y * 0.5) * config.height
-        # clamp only affects tris already outside the guard band (they are
-        # culled by the validity mask); keeps the f32->i32 snap well-defined
-        sx = xp.clip(sx, -lim, lim)
-        sy = xp.clip(sy, -lim, lim)
-        xs_c.append(fp.snap_to_fixed(sx, sub, xp))
-        ys_c.append(fp.snap_to_fixed(sy, sub, xp))
-        iw_c.append(inv_w)
-    xs = xp.stack(xs_c, axis=-1)
-    ys = xp.stack(ys_c, axis=-1)
-    z = xp.stack(z_c, axis=-1)
-    inv_w = xp.stack(iw_c, axis=-1)
+    sx = xp.clip(sx, -lim, lim)
+    sy = xp.clip(sy, -lim, lim)
+    xs = fp.snap_to_fixed(sx, sub, xp)
+    ys = fp.snap_to_fixed(sy, sub, xp)
 
     area2 = fp.doubled_area(xs, ys, xp)
     if config.cull_backfaces:
@@ -429,30 +414,22 @@ def geometry(
     C = capacity if capacity is not None else clip_capacity(T, config)
 
     clip, vattrs, face_rgb = _vertex_stage(scene, view, proj, config, xp)
-    # PER-CORNER position gathers: gathering the flat (3T, 4) index list
-    # and reshaping to (T, 3, 4) made XLA materialize the triangle table
-    # in THREE layouts ({1,0,2}, {0,1,2}, {0,2,1} — one per consumer
-    # group), ~1.9 ms/frame at 100k tris (per-op trace, PERF.md round 3).
-    # Three (T, 4) row gathers + downstream per-corner math keep every
-    # consumer on the one rewarded shape: row gather -> column slices.
-    tri_c = tuple(clip[mesh.indices[:, k]] for k in range(3))  # 3x (T,4)
+    tri_pos = clip[mesh.indices]  # (T,3,4)
     tri_attr = (
         vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
     )
 
     planes = _plane_vectors(config.guard_band, xp)  # (6,4)
-    # per-corner distances (T,6); identical f32 bits and reduction logic
-    # as the (T,3,6) form (boolean all/any reassociation is exact)
-    d0, d1, d2 = (_plane_distances(c, planes, xp) for c in tri_c)
-    inside_all = xp.all((d0 >= 0.0) & (d1 >= 0.0) & (d2 >= 0.0), axis=-1)
-    outside_any = xp.any((d0 < 0.0) & (d1 < 0.0) & (d2 < 0.0), axis=-1)
+    d = _plane_distances(tri_pos, planes, xp)  # (T,3,6)
+    inside_all = xp.all(d >= 0.0, axis=(1, 2))
+    outside_any = xp.any(xp.all(d < 0.0, axis=1), axis=1)
     crossing = (~inside_all) & (~outside_any)
 
     # ---- path B: Sutherland-Hodgman on the (few) crossing triangles -----
     B = clip_budget(T, config)
     sel, _, crossing_total = _sort_compact_ids(crossing, B, xp)
     sel_valid = xp.arange(B) < xp.minimum(crossing_total, B)
-    cpos = xp.stack([c[sel] for c in tri_c], axis=1)  # (B,3,4), B small
+    cpos = tri_pos[sel]
     cattr = tri_attr[sel]
     poly_pos, poly_attr, cnt = clip_triangles(
         cpos, cattr, config.guard_band, xp
@@ -476,7 +453,7 @@ def geometry(
     )
 
     # ---- project/snap/cull both paths ------------------------------------
-    xsA, ysA, zA, iwA, awA, validA = _project_snap(tri_c, tri_attr, config, xp)
+    xsA, ysA, zA, iwA, awA, validA = _project_snap(tri_pos, tri_attr, config, xp)
     validA = validA & inside_all
     xsB, ysB, zB, iwB, awB, validB = _project_snap(fposB, fattrB, config, xp)
     validB = validB & fan_valid

@@ -148,12 +148,6 @@ def shade_deferred(
         elif config.mode == MODE_PHONG:
             uv_slot = 6
 
-    # per-record material/texture constants folded into the wide record
-    # (fields mode keeps the original per-pixel tiny-table lookups — the
-    # values are identical either way)
-    texctx = None
-    matprops = None
-
     if config.deferred_fetch == "fields":
         # integer edge values straight from gathered vertex columns — the
         # exact same int32 expressions as fp.coverage on (N, 3) rows
@@ -192,9 +186,7 @@ def shade_deferred(
         # gathers 21x slower; multi-record packed tables with select
         # chains or an explicit transpose 4-13x slower at BOTH config3
         # and config5 scale. Touch this block only with a trace in hand.)
-        table, colmap = _pack_records(
-            tri, A, xp, config, uv_slot, scene=scene, mode=config.mode
-        )
+        table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
         rec = table[t]  # (H*W, K)
         xs = _bits_to_i32(rec[..., 0:3], xp)
         ys = _bits_to_i32(rec[..., 3:6], xp)
@@ -208,7 +200,7 @@ def shade_deferred(
         # axis=-2) over (N, 3, A+1), so results are bit-identical, but
         # every consumer is a cheap column slice of the one relayouted
         # record (no (N, 3, A+1) reshape materialization, ~0.9 ms at 1080p).
-        att0 = colmap["att0"]
+        att0 = lod_base + (6 if uv_slot is not None else 0)
 
         def interp(g):  # vertex-major group of 3 columns at att0 + 3*g
             c = att0 + 3 * g
@@ -219,30 +211,11 @@ def shade_deferred(
         def fetch_mat():
             return _bits_to_i32(rec[..., 6], xp)
 
-        def col(name):
-            return rec[..., colmap[name]]
-
-        def icol(name):
-            return _bits_to_i32(rec[..., colmap[name]], xp)
-
-        lod_base = colmap["lod"]
         lod6 = (
             tuple(rec[..., lod_base + i] for i in range(6))
             if uv_slot is not None
             else None
         )
-        if "tex_id" in colmap:
-            texctx = (
-                icol("tex_id"),
-                icol("tex_size") if "tex_size" in colmap else None,
-                icol("tex_base") if "tex_base" in colmap else None,
-                icol("tex_addr") if "tex_addr" in colmap else None,
-            )
-        if "ka" in colmap:
-            matprops = (
-                col("ka"), col("kd"), col("ks"), col("shininess"),
-                (col("base0"), col("base1"), col("base2")),
-            )
 
     denom = interp(A)  # interpolated 1/w (last group)
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
@@ -262,7 +235,6 @@ def shade_deferred(
         lit = xp.stack([attr(2), attr(3), attr(4)], axis=-1)
         texc = _sample_texture(
             scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
-            texctx=texctx,
         )
         return finish(texc * lit, mat_id, uv=(u, v))
 
@@ -273,26 +245,16 @@ def shade_deferred(
     normal = normal / xp.maximum(nrm, 1e-12)
     u, v = attr(6), attr(7)
 
-    if matprops is not None:
-        # material constants ride the one wide record gather (free columns)
-        ka_v, kd_v, ks_v, sh_v, (b0, b1, b2) = matprops
-        base = xp.stack([b0, b1, b2], axis=-1)
-    else:
-        # per-CHANNEL gathers from the tiny material table: a multi-column
-        # (N, 3) row gather pays the full padded-output tax (~3.7 + 1.4 ms
-        # relayout at 1080p) while single-column gathers from small tables
-        # lower to selects and the stack stays a dense fusion output —
-        # same values, ~5 ms cheaper per frame (config4 trace, PERF.md r3)
-        base = xp.stack(
-            [mats.base_color[:, c][mat_id] for c in range(3)], axis=-1
-        )
-        ka_v = mats.ka[mat_id]
-        kd_v = mats.kd[mat_id]
-        ks_v = mats.ks[mat_id]
-        sh_v = mats.shininess[mat_id]
+    # per-CHANNEL gathers from the tiny material table: a multi-column
+    # (N, 3) row gather pays the full padded-output tax (~3.7 ms + 1.4 ms
+    # relayout at 1080p) while single-column gathers from small tables
+    # lower to selects and the stack stays a dense fusion output — same
+    # values, ~5 ms cheaper per frame (config4 trace, PERF.md round 3)
+    base = xp.stack(
+        [mats.base_color[:, c][mat_id] for c in range(3)], axis=-1
+    )
     texc = _sample_texture(
         scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
-        texctx=texctx,
     )
     base = base * texc
 
@@ -307,10 +269,10 @@ def shade_deferred(
         normal,
         xp.asarray(eye, xp.float32),
         base,
-        ka_v,
-        kd_v,
-        ks_v,
-        sh_v,
+        mats.ka[mat_id],
+        mats.kd[mat_id],
+        mats.ks[mat_id],
+        mats.shininess[mat_id],
         scene.lights,
         shadow_factor=shadow,
         xp=xp,
@@ -339,76 +301,30 @@ def _bits_to_i32(a, xp):
     return jax.lax.bitcast_convert_type(a, xp.int32)
 
 
-def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None,
-                  scene=None, mode=None):
+def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     """ONE record table (C, K) f32, gathered per pixel by triangle id:
     xs(3) ys(3) mat_id(1) (ints bitcast), then — when uv_slot is given —
     6 per-RECORD texture-LOD derivative terms (dDdx dDdy dNudx dNudy dNvdx
     dNvdy; the screen-space uv-derivative numerator/denominator derivatives
     depend only on edge coefficients and per-vertex uw/vw/1w, i.e. they are
     constant per triangle — computed per record, not per pixel), then A
-    attribute groups of 3 vertex-major columns, then the 1/w group, then —
-    when `scene` is given — per-RECORD material/texture constants folded in
-    as extra columns (tex_id, native size, start row, address mode, Phong
-    ka/kd/ks/shininess/base RGB). The wide gather's cost is set by its
-    lane-PADDED output and is WIDTH-INDEPENDENT, so these columns ride for
-    free, while fetching the same constants per PIXEL from their tiny
-    tables lowered to ~1 ms select chains over the whole framebuffer each
-    (per-op trace, PERF.md round 3).
-    Returns (table, colmap): colmap maps 'lod' (LOD terms at lod..lod+5),
-    'att0', and each folded constant to its column index (absent if not
-    packed)."""
+    attribute groups of 3 vertex-major columns, then the 1/w group.
+    Returns (table, lod_base); LOD terms sit at lod_base..lod_base+5."""
     C = tri.capacity
     cols = [
         _i32_to_bits(tri.xs, xp),
         _i32_to_bits(tri.ys, xp),
         _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
     ]
-    k = 7
-    colmap = {"lod": k}
     if uv_slot is not None:
         terms = _lod_terms(tri, uv_slot, config, xp)
         cols.append(xp.stack(terms, axis=-1).astype(xp.float32))
-        k += 6
-    colmap["att0"] = k
     # attribute groups, vertex-major per attribute, then the 1/w group
     # (whose lam-interpolation is the perspective denominator)
     aw = xp.transpose(tri.attr_w, (0, 2, 1)).reshape(C, 3 * A)
     cols.append(aw.astype(xp.float32))
     cols.append(tri.inv_w.astype(xp.float32))
-    k += 3 * A + 3
-
-    def add(name, col):
-        nonlocal k
-        colmap[name] = k
-        cols.append(col.reshape(C, 1))
-        k += 1
-
-    if scene is not None:
-        mats = scene.materials
-        mrec = tri.mat_id  # (C,) — single-column gathers from tiny tables
-        pyr = scene.textures
-        if uv_slot is not None and pyr is not None and pyr.num_levels > 0:
-            tex_id_r = mats.tex_id[mrec].astype(xp.int32)
-            add("tex_id", _i32_to_bits(tex_id_r, xp))
-            if hasattr(pyr, "base_size_per_tex"):  # RaggedPyramid
-                safe = xp.where(tex_id_r >= 0, tex_id_r, 0)
-                add("tex_size", _i32_to_bits(
-                    xp.asarray(pyr.base_size_per_tex)[safe], xp))
-                add("tex_base", _i32_to_bits(
-                    xp.asarray(pyr.level_offset)[:, 0][safe], xp))
-            if mats.tex_addr is not None:
-                add("tex_addr", _i32_to_bits(
-                    mats.tex_addr[mrec].astype(xp.int32), xp))
-        if mode == MODE_PHONG:
-            add("ka", mats.ka[mrec].astype(xp.float32))
-            add("kd", mats.kd[mrec].astype(xp.float32))
-            add("ks", mats.ks[mrec].astype(xp.float32))
-            add("shininess", mats.shininess[mrec].astype(xp.float32))
-            for c in range(3):
-                add(f"base{c}",
-                    mats.base_color[:, c][mrec].astype(xp.float32))
-    return xp.concatenate(cols, axis=1), colmap
+    return xp.concatenate(cols, axis=1), 7
 
 
 def _lod_terms(tri: TriBuf, uv_slot, config, xp):
@@ -436,14 +352,8 @@ def _lod_terms(tri: TriBuf, uv_slot, config, xp):
 
 def _sample_texture(
     scene, config, u, v, lod6, e0, e1, e2, denom, mat_id, xp,
-    texctx=None,
 ):
     """Trilinear texture fetch with analytic per-pixel LOD.
-
-    texctx: optional (tex_id, tex_size, tex_base, tex_addr) per-pixel i32
-    arrays sliced from the record table (see _pack_records) — skips every
-    per-pixel tiny-table material/texture lookup; entries may be None when
-    a constant was not packed (uniform pyramid, no address modes).
 
     LOD comes from analytic screen-space uv derivatives via the quotient
     rule on the perspective-correct interpolation u = N(p)/D(p)
@@ -468,27 +378,20 @@ def _sample_texture(
     dvdx = (lod6[4] - v * lod6[0]) * invD
     dvdy = (lod6[5] - v * lod6[1]) * invD
 
-    tex_size = tex_base = None
-    if texctx is not None:
-        tex_id, tex_size, tex_base, addr = texctx
-    else:
-        tex_id = scene.materials.tex_id[mat_id]
-        addr = None
-        if scene.materials.tex_addr is not None:
-            addr = scene.materials.tex_addr[mat_id]
+    tex_id = scene.materials.tex_id[mat_id]
     has_tex = tex_id >= 0
     tid_safe = xp.where(has_tex, tex_id, 0)
 
     if hasattr(pyr, "base_size_per_tex"):  # RaggedPyramid: per-pixel scale
-        if tex_size is None:
-            tex_size = xp.asarray(pyr.base_size_per_tex)[tid_safe]
-        base = tex_size.astype(xp.float32)
+        base = pyr.base_size_per_tex[tid_safe].astype(xp.float32)
     else:
         base = pyr.base_size
     lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, base, xp)
+    addr = None
+    if scene.materials.tex_addr is not None:
+        addr = scene.materials.tex_addr[mat_id]
     texc = sm.sample_trilinear(
-        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch, addr=addr,
-        tex_size=tex_size, tex_base=tex_base,
+        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch, addr=addr
     )
     return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
 
