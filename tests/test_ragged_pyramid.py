@@ -135,3 +135,27 @@ def test_identity_layout_stream_cap_warns():
         geometry(scene, view, proj, cfg, np,
                  capacity=clip_capacity(scene.mesh.num_triangles, cfg))
     assert any("stream_entry_cap" in str(x.message) for x in w)
+
+
+def test_twolevel_fetch_bit_identical():
+    """"twolevel" fetch (two 4-texel own-quad gathers, l0 + l1) must equal
+    "wide" (13-col quad+parent row) BIT-EXACTLY: the l1 anchor's own quad
+    is the same four texels the parent-3x3 select picks, and the bilerp op
+    order is shared. twolevel is what "auto" resolves to past the ~300k-row
+    gather layout-flip threshold (PERF.md round 3)."""
+    rng = np.random.default_rng(11)
+    rag = build_ragged_pyramid(
+        [checkerboard(64), noise_texture(128, seed=4), noise_texture(32, seed=5)]
+    )
+    uni = build_pyramid([noise_texture(64, seed=6), checkerboard(64)])
+    n = 4096
+    for pyr, ntex in ((rag, 3), (uni, 2)):
+        tid = rng.integers(0, ntex, n).astype(np.int32)
+        u = rng.uniform(-2, 3, n).astype(np.float32)
+        v = rng.uniform(-2, 3, n).astype(np.float32)
+        lod = rng.uniform(-1, 9, n).astype(np.float32)
+        addr = rng.integers(0, 2, n).astype(np.int32)
+        for a in (None, addr):
+            w = sm.sample_trilinear(pyr, tid, u, v, lod, np, fetch="wide", addr=a)
+            t = sm.sample_trilinear(pyr, tid, u, v, lod, np, fetch="twolevel", addr=a)
+            assert (w == t).all(), "twolevel diverged from wide"

@@ -142,8 +142,11 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
 
     pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
     repeat-wrapped); lod (...,) f32. Returns (..., 3) f32.
-    fetch: "wide" (one 13-col row gather per pixel) or "fields" (13 dense
-    per-column gathers; bit-identical — RenderConfig.tex_fetch).
+    fetch: "wide" = one 13-col row gather per pixel (default, fastest
+    measured at every scale); "twolevel" = two 4-texel own-quad gathers
+    (l0 + l1 rows); "fields" = 13 dense per-column gathers. All
+    bit-identical — RenderConfig.tex_fetch (see its comment for the
+    measured economics).
     addr: optional (...,) i32 per-pixel address mode (Material.tex_addr):
     0 = repeat-wrap, 1 = clamp-to-edge. Clamp is implemented by clamping
     the sample position to the COARSER mip level's half-texel interior, so
@@ -244,6 +247,35 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
     K = pyramid.quads.shape[-1]
     flat_q = pyramid.quads.reshape(-1, K)
     qidx = qbase(l0) + (j0 & (s0 - 1)) * s0 + (i0 & (s0 - 1))
+    if fetch == "twolevel":
+        # The l1 anchor's OWN quad row holds exactly the four texels the
+        # wide path's parent-3x3 select picks (the 3x3 anchored at
+        # (j0//2-1, i0//2-1) contains the 2x2 at (j1, i1)), so fetching it
+        # directly is bit-identical and needs no di/dj selects. Fetches
+        # 2Mx8 elements vs wide's 2Mx13, which should win in the big-table
+        # element-rate gather regime (459k-row config6 table: the 13-col
+        # gather flips column-major and costs 12.8 ms) — but MEASURED 8.4
+        # ms SLOWER end-to-end (97.1 vs 88.7 ms, two runs); kept
+        # selectable for re-testing. See PERF.md round 3.
+        i1, j1, fu1, fv1, s1 = fractions(l1)
+        own = flat_q[:, :4]
+        rowA = own[qidx]
+        qidx1 = qbase(l1) + (j1 & (s1 - 1)) * s1 + (i1 & (s1 - 1))
+        rowB = own[qidx1]
+        chans = []
+        for shift in (0, 8, 16):
+            c0 = bilerp_ch(
+                unpack_ch(rowA[..., 0], shift), unpack_ch(rowA[..., 1], shift),
+                unpack_ch(rowA[..., 2], shift), unpack_ch(rowA[..., 3], shift),
+                fu0, fv0,
+            )
+            c1 = bilerp_ch(
+                unpack_ch(rowB[..., 0], shift), unpack_ch(rowB[..., 1], shift),
+                unpack_ch(rowB[..., 2], shift), unpack_ch(rowB[..., 3], shift),
+                fu1, fv1,
+            )
+            chans.append(c0 + (c1 - c0) * frac)
+        return xp.stack(chans, axis=-1).astype(xp.float32)
     if fetch == "fields":
         qcols = [flat_q[:, c] for c in range(K)]
 

@@ -144,8 +144,15 @@ class RenderConfig:
     # results; which is faster is scale-dependent (PERF.md round 3).
     deferred_fetch: str = "wide"
 
-    # Texture quad fetch strategy (same trade-off as deferred_fetch, for the
-    # (Ntex*P, 13) bilinear-quad table in sample_trilinear).
+    # Texture quad fetch strategy for the (Ntex*P, 13) bilinear-quad table
+    # in sample_trilinear; all values bit-identical. "wide" (default): one
+    # 13-col row gather. "twolevel": two 4-texel own-quad gathers (l0+l1)
+    # — 40% fewer gathered elements, predicted to win in the big-table
+    # element-rate gather regime, but MEASURED 8.4 ms SLOWER end-to-end at
+    # config6 (97.1 vs 88.7 ms; the extra qbase(l1) select chain plus
+    # shifted fusion boundaries eat the saving — PERF.md round 3). Kept
+    # selectable for re-testing. "fields": 13 per-column gathers (21x
+    # slower at 1080p, PERF.md round 3).
     tex_fetch: str = "wide"
 
     # Occlusion early-out in the streaming visibility kernel: skip a
