@@ -28,16 +28,6 @@ def _tri_and_cfg(preset, t=0.2, **over):
     return tri, p.config
 
 
-@pytest.mark.tpu
-@pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
-def test_pallas_tpu_matches_jnp(preset_fn):
-    tri, cfg = _tri_and_cfg(preset_fn())
-    t_j, z_j, _ = jb.visibility_binned(tri, cfg)
-    t_p, z_p, _ = pb.visibility_binned(tri, cfg)
-    assert (np.asarray(t_j) == np.asarray(t_p)).all()
-    assert (np.asarray(z_j) == np.asarray(z_p)).all()
-
-
 @pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
 def test_pallas_smem_interpret_matches_jnp(preset_fn):
     from xr.raster import pallas_smem as psm
