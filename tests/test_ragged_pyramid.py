@@ -92,12 +92,13 @@ def test_ragged_end_to_end_parity():
 
 
 def test_closed_form_level_math_matches_tables():
-    """sample_trilinear derives level sizes/offsets in CLOSED FORM
-    (sizes are power-of-two shifts; a finest-first chain's row offset is
-    the geometric sum (4B^2-4s^2)/3 — PERF.md round 3, replacing ~1 ms/
-    frame per-pixel select chains). Pin the formula against the tables
-    build_ragged_pyramid actually packs, for mixed sizes INCLUDING the
-    repeated 1x1 tail levels."""
+    """build_ragged_pyramid's level tables obey the closed form: sizes
+    are power-of-two shifts and a finest-first chain's row offset is the
+    geometric sum (4B^2-4s^2)/3. (A shading path computing these per
+    pixel in closed form instead of via the tiny-table selects was tried
+    and REVERTED — slower end-to-end, PERF.md round 3 — but the formula
+    still documents/pins the packing layout, for mixed sizes INCLUDING
+    the repeated 1x1 tail levels.)"""
     imgs = [noise_texture(128, seed=1), checkerboard(16),
             noise_texture(512, seed=2), checkerboard(32)]
     rag = build_ragged_pyramid(imgs)
