@@ -46,3 +46,47 @@ def test_present_strict_overflow_raises():
     r.present(r.step(scene.replace(model_matrices=mm), cam))
     with pytest.raises(RuntimeError, match="overflow"):
         r.flush()
+
+
+def test_framebuffer_recycling_donates_and_preserves_values():
+    """SURVEY.md §2.1 "Allocators": retired frames' device buffers are
+    DONATED back into the next step, so the framebuffer/z-buffer HBM is
+    persistent across frames. Values must be identical to a fresh-buffer
+    renderer, and the recycled buffers must actually be consumed by
+    donation (deleted), proving XLA aliased the outputs onto them."""
+    p = small_preset(config2_icospheres(), 96, 64, bin_capacity=8192)
+    scene = p.scene
+    r = Renderer(scene, p.config)  # recycle_framebuffers defaults on
+    r_fresh = Renderer(scene, p.config, recycle_framebuffers=False)
+
+    def snap(frame):
+        # On the CPU backend np.asarray(device_array) is ZERO-COPY: holding
+        # the host view pins the device buffer, and XLA then (safely)
+        # degrades the donation to a copy. Snapshot values and drop the
+        # views so the aliasing assert below sees donatable buffers — on
+        # TPU host copies are separate memory and this is a non-issue.
+        return frame.color.copy(), frame.depth.copy()
+
+    hosts, refs, retired = [], [], []
+    for i in range(4):
+        cam, mm = p.animate(0.1 * i, np)
+        s = scene.replace(model_matrices=mm)
+        f = r.step(s, cam)
+        refs.append(snap(r_fresh.readback(r_fresh.step(s, cam))))
+        out = r.present(f)
+        if out is not None:
+            hosts.append(snap(out))
+        del out  # drop the zero-copy host views before the next step
+        if i >= 1:
+            retired.append(f)  # will be recycled by a later step
+    hosts.append(snap(r.flush()))
+
+    for (gc, gd), (rc, rd) in zip(hosts, refs):
+        assert (gc == rc).all()
+        assert (gd == rd).all()
+
+    # the first retired frame was donated into a later step: its device
+    # buffers must be gone (this is what makes the reuse real, not a copy)
+    first = retired[0]
+    if hasattr(first.color, "is_deleted"):
+        assert first.color.is_deleted(), "retired framebuffer was not donated"

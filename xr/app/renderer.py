@@ -62,11 +62,19 @@ def render_step(
     light_proj=None,
     capacity: Optional[int] = None,
     shade_hook=None,
+    fb_pool=None,
 ) -> Frame:
     """Pure-function frame step (trace-time metaprogram; jit via Renderer).
 
     light_view/light_proj: host-computed shadow matrices (xr/pipeline/shadow)
     required when config.mode == MODE_PHONG and config.shadow_map_size > 0.
+
+    fb_pool: optional (color_u8 (H,W,3), depth_f32 (H,W)) pair of DONATED
+    device buffers (Renderer marks the argument with donate_argnames). The
+    final framebuffer/depth outputs are written into them in place, so a
+    retired frame's HBM is reused verbatim by the next frame — the
+    reference's persistent framebuffer/z-buffer allocation pattern
+    (SURVEY.md §2.1 "Allocators"), expressed as XLA buffer donation.
 
     shade_hook: optional custom pixel-shader stage — the analog of editing
     the reference's HLSL pixel shader (SURVEY.md §3.4). Called as
@@ -141,6 +149,9 @@ def render_step(
 
     if config.mode == MODE_DEPTH_ONLY:
         color = jnp.zeros((config.height, config.width, 3), jnp.uint8)
+        if fb_pool is not None:
+            color = fb_pool[0].at[:, :, :].set(color)
+            depth = fb_pool[1].at[:, :].set(depth)
         return Frame(color=color, depth=depth, stats=stats)
 
     rgb = shade_deferred(
@@ -162,7 +173,13 @@ def render_step(
             rgb, depth, tri, scene, config, camera.eye, xp=jnp
         )
         stats["blend_overflow"] = blend_of
-    return Frame(color=sm.resolve_u8(rgb, jnp), depth=depth, stats=stats)
+    color = sm.resolve_u8(rgb, jnp)
+    if fb_pool is not None:
+        # full in-place overwrite of the donated buffers: XLA aliases the
+        # frame outputs onto the retired frame's HBM (no per-frame allocs)
+        color = fb_pool[0].at[:, :, :].set(color)
+        depth = fb_pool[1].at[:, :].set(depth)
+    return Frame(color=color, depth=depth, stats=stats)
 
 
 def readback_frame(frame: Frame, strict: bool = True) -> Frame:
@@ -197,6 +214,10 @@ class PresentMixin:
 
     _inflight: Optional[Frame] = None
 
+    def _retire(self, frame: Frame) -> None:
+        """Called once a presented frame's host copy is complete; renderers
+        that recycle framebuffers override this to reclaim device buffers."""
+
     def present(self, frame: Frame, strict: bool = True) -> Optional[Frame]:
         """Queue `frame`; returns the PREVIOUS frame as a host-side Frame
         (None on the first call)."""
@@ -204,12 +225,20 @@ class PresentMixin:
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         prev, self._inflight = self._inflight, frame
-        return readback_frame(prev, strict) if prev is not None else None
+        if prev is None:
+            return None
+        host = readback_frame(prev, strict)
+        self._retire(prev)
+        return host
 
     def flush(self, strict: bool = True) -> Optional[Frame]:
         """Drain the in-flight frame (host copy of the last present())."""
         prev, self._inflight = self._inflight, None
-        return readback_frame(prev, strict) if prev is not None else None
+        if prev is None:
+            return None
+        host = readback_frame(prev, strict)
+        self._retire(prev)
+        return host
 
     def readback(self, frame: Frame, strict: bool = True) -> Frame:
         """Synchronous device-to-host transfer of one frame."""
@@ -224,23 +253,53 @@ class Renderer(PresentMixin):
     construction (host-side) — pass `light_matrices` to override per frame.
     """
 
-    def __init__(self, scene: Scene, config: RenderConfig, shade_hook=None):
+    def __init__(
+        self,
+        scene: Scene,
+        config: RenderConfig,
+        shade_hook=None,
+        recycle_framebuffers: bool = True,
+    ):
         self.config = config
         self.capacity = clip_capacity(scene.mesh.num_triangles, config)
         self._light = None
         self._inflight = None
+        self._recycle = recycle_framebuffers
+        self._pool = []  # retired (color_u8, depth_f32) device buffer pairs
         if config.mode == MODE_PHONG and config.shadow_map_size > 0:
             self._light = light_matrices_for_scene(scene)
         self._step = jax.jit(
             functools.partial(
                 render_step, config=config, capacity=self.capacity,
                 shade_hook=shade_hook,
-            )
+            ),
+            donate_argnames=("fb_pool",),
+        )
+
+    def _retire(self, frame: Frame) -> None:
+        # reclaim a presented frame's device buffers as the next step's
+        # donated framebuffer pool (the host copy is complete by now).
+        # NOTE: the retired device Frame is consumed by a later step() —
+        # reading it after it has been recycled raises a deleted-array
+        # error; keep only the HOST Frame that present()/flush() returned.
+        if self._recycle and hasattr(frame.color, "devices"):
+            self._pool.append((frame.color, frame.depth))
+
+    def _fb_pool(self):
+        if self._pool:
+            return self._pool.pop()
+        cfg = self.config
+        return (
+            jnp.zeros((cfg.height, cfg.width, 3), jnp.uint8),
+            jnp.zeros((cfg.height, cfg.width), jnp.float32),
         )
 
     def step(self, scene: Scene, camera, light_matrices=None) -> Frame:
         """Render one frame (async dispatch; block via np.asarray/readback)."""
         lm = light_matrices or self._light
+        fb = self._fb_pool()
         if lm is not None:
-            return self._step(scene, camera, light_view=lm[0], light_proj=lm[1])
-        return self._step(scene, camera)
+            return self._step(
+                scene, camera, light_view=lm[0], light_proj=lm[1], fb_pool=fb
+            )
+        return self._step(scene, camera, fb_pool=fb)
