@@ -1,0 +1,55 @@
+"""Real-device END-TO-END frame parity (XR_TEST_PLATFORM=tpu only).
+
+The CPU suite runs the jnp/device path on the CPU backend, so an
+XLA-TPU-specific mis-lowering of the frame program is invisible to it —
+exactly how the round-3 ambient-only Phong bug (ISSUES.md) escaped: the
+fps bench measures timing, not pixels, and the parity tests never ran on
+the real chip. These tests render small frames on the actual TPU and
+diff them against the CPU oracle.
+"""
+
+import numpy as np
+import pytest
+
+from xr.cpu_ref import render_frame
+from xr.scene.presets import (
+    config2_icospheres,
+    config3_terrain,
+    config4_phong,
+    small_preset,
+)
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.mark.parametrize(
+    "preset_fn", [config2_icospheres, config3_terrain, config4_phong]
+)
+def test_device_frame_matches_oracle(preset_fn):
+    """Gouraud, textured, AND Phong frames must match the oracle <= 1 LSB
+    on the real chip (BASELINE.json:2). config4 is the ambient-only bug's
+    regression guard: zeroed normals kill diffuse+specular everywhere,
+    which shows up here as a large uniform color error."""
+    import jax
+    from xr.app.renderer import Renderer
+
+    p = small_preset(preset_fn(), 480, 270)
+    scene = p.scene
+    cam, mm = p.animate(0.0, np)
+    of = render_frame(scene.replace(model_matrices=mm), cam, p.config)
+
+    import jax.numpy as jnp
+
+    scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
+    cam_j, mm_j = p.animate(0.0, jnp)
+    r = Renderer(scene_j, p.config)
+    df = r.readback(r.step(scene_j.replace(model_matrices=mm_j), cam_j))
+
+    assert ((df.depth == 1.0) == (np.asarray(of.depth) == 1.0)).all(), (
+        "coverage mismatch on device"
+    )
+    diff = np.abs(df.color.astype(int) - np.asarray(of.color).astype(int))
+    assert diff.max() <= 1, (
+        f"{p.name}: device color differs from oracle by {diff.max()} LSB "
+        f"at {int((diff.max(axis=-1) > 1).sum())} pixels"
+    )
