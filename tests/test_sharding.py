@@ -88,3 +88,39 @@ def test_sharded_shade_hook_parity():
     fn = multi.step(scene, cam)
     assert (np.asarray(fn.color) == f1.color).all()
     assert (np.asarray(fn.depth) == f1.depth).all()
+
+
+def test_sharded_framebuffer_recycling():
+    """Donated persistent framebuffers compose with the band-sharded step
+    (mirror of tests/test_present.py::test_framebuffer_recycling_*): the
+    replicated frame outputs alias retired buffers; values unchanged."""
+    p = small_preset(
+        config2_icospheres(), 96, 64, tile_h=16, tile_w=32, bin_capacity=8192
+    )
+    cfgn = dataclasses.replace(p.config, num_shards=4, raster_path="binned")
+    scene0 = p.scene
+    r = ShardedRenderer(scene0, cfgn)
+    r_fresh = ShardedRenderer(scene0, cfgn, recycle_framebuffers=False)
+
+    hosts, refs, retired = [], [], []
+    for i in range(4):
+        cam, mm = p.animate(0.1 * i, np)
+        s = scene0.replace(model_matrices=mm)
+        f = r.step(s, cam)
+        ref = r_fresh.readback(r_fresh.step(s, cam))
+        refs.append((ref.color.copy(), ref.depth.copy()))
+        out = r.present(f)
+        if out is not None:
+            hosts.append((out.color.copy(), out.depth.copy()))
+        del out  # drop zero-copy host views before the next step
+        if i >= 1:
+            retired.append(f)
+    last = r.flush()
+    hosts.append((last.color.copy(), last.depth.copy()))
+    del last
+
+    for (gc, gd), (rc, rd) in zip(hosts, refs):
+        assert (gc == rc).all()
+        assert (gd == rd).all()
+    if hasattr(retired[0].color, "is_deleted"):
+        assert retired[0].color.is_deleted(), "retired sharded fb not donated"

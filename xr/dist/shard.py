@@ -60,11 +60,16 @@ def render_step_sharded(
     light_proj=None,
     capacity: Optional[int] = None,
     shade_hook=None,
+    fb_pool=None,
 ) -> Frame:
     """Render one frame sharded into horizontal bands across `mesh`.
 
     Returns a fully-gathered (replicated) Frame — the final all_gather rides
     ICI on real hardware (BASELINE.json:5).
+
+    fb_pool: optional (color_u8 (H,W,3), depth_f32 (H,W)) DONATED replicated
+    buffers a retired frame left behind (see xr.app.renderer.render_step) —
+    the gathered outputs are written into them in place.
     """
     n = mesh.shape["bands"]
     cap = capacity or clip_capacity(scene.mesh.num_triangles, config)
@@ -167,7 +172,11 @@ def render_step_sharded(
     lv = jnp.zeros((4, 4), jnp.float32) if light_view is None else jnp.asarray(light_view)
     lp = jnp.zeros((4, 4), jnp.float32) if light_proj is None else jnp.asarray(light_proj)
     color, depth, stats = fn(scene, camera, lv, lp)
-    return Frame(color=color[:H], depth=depth[:H], stats=stats)
+    color, depth = color[:H], depth[:H]
+    if fb_pool is not None:
+        color = fb_pool[0].at[:, :, :].set(color)
+        depth = fb_pool[1].at[:, :].set(depth)
+    return Frame(color=color, depth=depth, stats=stats)
 
 
 class ShardedRenderer(PresentMixin):
@@ -175,7 +184,7 @@ class ShardedRenderer(PresentMixin):
     step/readback/present surface, banded across a device mesh."""
 
     def __init__(self, scene: Scene, config: RenderConfig, devices=None,
-                 shade_hook=None):
+                 shade_hook=None, recycle_framebuffers: bool = True):
         from xr.pipeline.shadow import light_matrices_for_scene
 
         self.config = config
@@ -183,8 +192,8 @@ class ShardedRenderer(PresentMixin):
         self.capacity = clip_capacity(scene.mesh.num_triangles, config)
         self._light = None
         self._inflight = None
-        if config.mode == MODE_PHONG and config.shadow_map_size > 0:
-            self._light = light_matrices_for_scene(scene)
+        self._recycle = recycle_framebuffers
+        self._pool = []
         self._step = jax.jit(
             functools.partial(
                 render_step_sharded,
@@ -192,12 +201,32 @@ class ShardedRenderer(PresentMixin):
                 mesh=self.mesh,
                 capacity=self.capacity,
                 shade_hook=shade_hook,
-            )
+            ),
+            donate_argnames=("fb_pool",),
+        )
+        if config.mode == MODE_PHONG and config.shadow_map_size > 0:
+            self._light = light_matrices_for_scene(scene)
+
+    def _retire(self, frame: Frame) -> None:
+        # see xr.app.renderer.Renderer._retire — same persistent-framebuffer
+        # donation pattern; the pooled buffers are replicated full frames
+        if self._recycle and hasattr(frame.color, "devices"):
+            self._pool.append((frame.color, frame.depth))
+
+    def _fb_pool(self):
+        if self._pool:
+            return self._pool.pop()
+        cfg = self.config
+        return (
+            jnp.zeros((cfg.height, cfg.width, 3), jnp.uint8),
+            jnp.zeros((cfg.height, cfg.width), jnp.float32),
         )
 
     def step(self, scene: Scene, camera) -> Frame:
+        fb = self._fb_pool()
         if self._light is not None:
             return self._step(
-                scene, camera, light_view=self._light[0], light_proj=self._light[1]
+                scene, camera, light_view=self._light[0],
+                light_proj=self._light[1], fb_pool=fb,
             )
-        return self._step(scene, camera)
+        return self._step(scene, camera, fb_pool=fb)
