@@ -219,6 +219,13 @@ def shade_deferred(
 
     denom = interp(A)  # interpolated 1/w (last group)
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
+    # background pixels read record 0's plane far outside the triangle,
+    # where denom can underflow to the 1e-20 floor and blow attrs up to
+    # ~1e20 (f32 overflow in the squaring downstream — RuntimeWarnings on
+    # the numpy path, and garbage in hook-visible Frag fields). Their
+    # color is replaced by bg_color either way; zero the attrs at the
+    # source so covered pixels are untouched and both backends agree.
+    inv_denom = xp.where(bg, xp.float32(0.0), inv_denom)
 
     def attr(j):
         return interp(j) * inv_denom
