@@ -21,8 +21,10 @@ oc = np.asarray(of.color).astype(int)
 
 scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
 camj, mmj = p.animate(0.0, jnp)
-for tag, cfg in [("dispatch", p.config),
-                 ("jnp", dataclasses.replace(p.config, backend="jnp"))]:
+for tag, cfg in [("dispatch/value-pack", p.config),
+                 ("dispatch/bits-pack",
+                  dataclasses.replace(p.config, record_pack="bits")),
+                 ("jnp/value-pack", dataclasses.replace(p.config, backend="jnp"))]:
     r = Renderer(scene, cfg, shade_hook=hook)
     df = r.readback(r.step(scene.replace(model_matrices=mmj), camj))
     dc = np.asarray(df.color).astype(int)

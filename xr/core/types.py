@@ -155,6 +155,19 @@ class RenderConfig:
     # slower at 1080p, PERF.md round 3).
     tex_fetch: str = "wide"
 
+    # How the integer record fields (xs, ys, mat_id) ride in the one f32
+    # per-pixel record table (deferred pass). "value" (default): CONVERTED
+    # to f32 — exact, since post-clip fixed-point coords are guard-band
+    # bounded far below 2^24 (see __post_init__'s edge-overflow assert) —
+    # and converted back after the gather. "bits": bitcast int32<->f32.
+    # Bitcast packing puts denormal (small-int) and NaN-payload
+    # (negative-int) bit patterns into f32 lanes, which TPU hardware may
+    # legally mangle when XLA lowers the post-gather relayout through an
+    # arithmetic op (denormals flush to zero, NaN payloads canonicalize) —
+    # the prime suspect for the ambient-only Phong frames in ISSUES.md.
+    # Both settings are bit-identical on backends that don't mangle.
+    record_pack: str = "value"
+
     # Occlusion early-out in the streaming visibility kernel: skip a
     # record's whole band loop when its z_min is behind the tile's current
     # z-buffer max (recomputed per block). Pays on deep scenes (config-5
@@ -193,6 +206,15 @@ class RenderConfig:
             "subpixel_bits/guard_band too large for exact int32 edge functions "
             f"at {self.width}x{self.height}"
         )
+        assert self.record_pack in ("value", "bits")
+        if self.record_pack == "value":
+            # value-packed record coords must be exact in f32: the geometry
+            # stage clamps |coord| <= (8*max(W,H)+64)*sub (project_snap)
+            lim = (8 * max(self.width, self.height) + 64) * sub
+            assert lim < 2**24, (
+                "framebuffer too large for exact f32 value-packed records; "
+                "use record_pack='bits'"
+            )
 
     @property
     def attr_width(self) -> int:

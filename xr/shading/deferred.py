@@ -188,8 +188,13 @@ def shade_deferred(
         # and config5 scale. Touch this block only with a trace in hand.)
         table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
         rec = table[t]  # (H*W, K)
-        xs = _bits_to_i32(rec[..., 0:3], xp)
-        ys = _bits_to_i32(rec[..., 3:6], xp)
+        unpack_i32 = (
+            _bits_to_i32
+            if config.record_pack == "bits"
+            else (lambda a, xp: a.astype(xp.int32))
+        )
+        xs = unpack_i32(rec[..., 0:3], xp)
+        ys = unpack_i32(rec[..., 3:6], xp)
 
         _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
         l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
@@ -209,7 +214,7 @@ def shade_deferred(
             ) + l2 * rec[..., c + 2]
 
         def fetch_mat():
-            return _bits_to_i32(rec[..., 6], xp)
+            return unpack_i32(rec[..., 6], xp)
 
         lod6 = (
             tuple(rec[..., lod_base + i] for i in range(6))
@@ -316,12 +321,18 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     depend only on edge coefficients and per-vertex uw/vw/1w, i.e. they are
     constant per triangle — computed per record, not per pixel), then A
     attribute groups of 3 vertex-major columns, then the 1/w group.
-    Returns (table, lod_base); LOD terms sit at lod_base..lod_base+5."""
+    Returns (table, lod_base); LOD terms sit at lod_base..lod_base+5.
+
+    Int fields ride as converted f32 VALUES by default (exact: guard-band
+    bounded coords << 2^24) rather than bitcast bit patterns — see
+    RenderConfig.record_pack for why bitcast packing is TPU-hazardous."""
     C = tri.capacity
+    as_bits = config is not None and getattr(config, "record_pack", "value") == "bits"
+    pack_i32 = _i32_to_bits if as_bits else (lambda a, xp: a.astype(xp.float32))
     cols = [
-        _i32_to_bits(tri.xs, xp),
-        _i32_to_bits(tri.ys, xp),
-        _i32_to_bits(tri.mat_id.reshape(C, 1), xp),
+        pack_i32(tri.xs, xp),
+        pack_i32(tri.ys, xp),
+        pack_i32(tri.mat_id.reshape(C, 1), xp),
     ]
     if uv_slot is not None:
         terms = _lod_terms(tri, uv_slot, config, xp)
