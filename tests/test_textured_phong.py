@@ -139,3 +139,20 @@ def test_only_light0_casts_shadows():
     on2 = render_frame(scene, cam, p.config)
     off2 = render_frame(scene, cam, cfg_off)
     assert (on2.color != off2.color).any(), "shadow pass had no effect at all"
+
+
+def test_record_pack_bits_value_identical():
+    """record_pack='bits' and 'value' are bit-identical on non-mangling
+    backends (the CPU jnp path here); 'bits' stays selectable solely as
+    the device A/B axis for the TPU denormal/NaN bitcast hazard
+    (RenderConfig.record_pack, ISSUES.md)."""
+    p = small_preset(config4_phong(), 96, 64)
+    cam, mm = p.animate(0.2, np)
+    scene = p.scene.replace(model_matrices=mm)
+    frames = {}
+    for pack in ("value", "bits"):
+        cfg = dataclasses.replace(p.config, record_pack=pack)
+        r = Renderer(scene, cfg)
+        frames[pack] = r.readback(r.step(scene, cam))
+    assert (frames["value"].color == frames["bits"].color).all()
+    assert (frames["value"].depth == frames["bits"].depth).all()
