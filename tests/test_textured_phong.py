@@ -150,9 +150,10 @@ def test_record_pack_bits_value_identical():
     cam, mm = p.animate(0.2, np)
     scene = p.scene.replace(model_matrices=mm)
     frames = {}
-    for pack in ("value", "bits"):
+    for pack in ("value", "bits", "split"):
         cfg = dataclasses.replace(p.config, record_pack=pack)
         r = Renderer(scene, cfg)
         frames[pack] = r.readback(r.step(scene, cam))
-    assert (frames["value"].color == frames["bits"].color).all()
-    assert (frames["value"].depth == frames["bits"].depth).all()
+    for pack in ("bits", "split"):
+        assert (frames["value"].color == frames[pack].color).all(), pack
+        assert (frames["value"].depth == frames[pack].depth).all(), pack

@@ -24,6 +24,8 @@ camj, mmj = p.animate(0.0, jnp)
 for tag, cfg in [("dispatch/value-pack", p.config),
                  ("dispatch/bits-pack",
                   dataclasses.replace(p.config, record_pack="bits")),
+                 ("dispatch/split-pack",
+                  dataclasses.replace(p.config, record_pack="split")),
                  ("jnp/value-pack", dataclasses.replace(p.config, backend="jnp"))]:
     r = Renderer(scene, cfg, shade_hook=hook)
     df = r.readback(r.step(scene.replace(model_matrices=mmj), camj))

@@ -165,7 +165,10 @@ class RenderConfig:
     # legally mangle when XLA lowers the post-gather relayout through an
     # arithmetic op (denormals flush to zero, NaN payloads canonicalize) —
     # the prime suspect for the ambient-only Phong frames in ISSUES.md.
-    # Both settings are bit-identical on backends that don't mangle.
+    # "split": int fields in their own natively-gathered int32 table (no
+    # int bit patterns in f32 lanes at all — hazard-free fallback, but a
+    # second per-pixel gather + relayout). All settings bit-identical on
+    # backends that don't mangle.
     record_pack: str = "value"
 
     # Occlusion early-out in the streaming visibility kernel: skip a
@@ -206,7 +209,7 @@ class RenderConfig:
             "subpixel_bits/guard_band too large for exact int32 edge functions "
             f"at {self.width}x{self.height}"
         )
-        assert self.record_pack in ("value", "bits")
+        assert self.record_pack in ("value", "bits", "split")
         if self.record_pack == "value":
             # value-packed record coords must be exact in f32: the geometry
             # stage clamps |coord| <= (8*max(W,H)+64)*sub (project_snap)

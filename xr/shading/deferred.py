@@ -186,15 +186,32 @@ def shade_deferred(
         # gathers 21x slower; multi-record packed tables with select
         # chains or an explicit transpose 4-13x slower at BOTH config3
         # and config5 scale. Touch this block only with a trace in hand.)
-        table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
-        rec = table[t]  # (H*W, K)
-        unpack_i32 = (
-            _bits_to_i32
-            if config.record_pack == "bits"
-            else (lambda a, xp: a.astype(xp.int32))
-        )
-        xs = unpack_i32(rec[..., 0:3], xp)
-        ys = unpack_i32(rec[..., 3:6], xp)
+        if config.record_pack == "split":
+            # int fields in their OWN int32 table, gathered natively — no
+            # int bit patterns ever ride f32 lanes (hazard-free fallback;
+            # costs a second (N, 7) gather + relayout vs "value")
+            C = tri.capacity
+            itab = xp.concatenate(
+                [tri.xs, tri.ys, tri.mat_id.reshape(C, 1)], axis=1
+            )
+            irec = itab[t]  # (H*W, 7) i32
+            xs, ys = irec[..., 0:3], irec[..., 3:6]
+            fetch_mat_col = lambda: irec[..., 6]
+            table, lod_base = _pack_records(
+                tri, A, xp, config, uv_slot, ints=False
+            )
+            rec = table[t]  # (H*W, K-7)
+        else:
+            table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
+            rec = table[t]  # (H*W, K)
+            unpack_i32 = (
+                _bits_to_i32
+                if config.record_pack == "bits"
+                else (lambda a, xp: a.astype(xp.int32))
+            )
+            xs = unpack_i32(rec[..., 0:3], xp)
+            ys = unpack_i32(rec[..., 3:6], xp)
+            fetch_mat_col = lambda: unpack_i32(rec[..., 6], xp)
 
         _, (e0, e1, e2) = fp.coverage(xs, ys, px, py, xp)
         l0, l1, l2 = fp.barycentrics_f32(e0, e1, e2, xp)
@@ -214,7 +231,7 @@ def shade_deferred(
             ) + l2 * rec[..., c + 2]
 
         def fetch_mat():
-            return unpack_i32(rec[..., 6], xp)
+            return fetch_mat_col()
 
         lod6 = (
             tuple(rec[..., lod_base + i] for i in range(6))
@@ -313,7 +330,7 @@ def _bits_to_i32(a, xp):
     return jax.lax.bitcast_convert_type(a, xp.int32)
 
 
-def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
+def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None, ints=True):
     """ONE record table (C, K) f32, gathered per pixel by triangle id:
     xs(3) ys(3) mat_id(1) (ints bitcast), then — when uv_slot is given —
     6 per-RECORD texture-LOD derivative terms (dDdx dDdy dNudx dNudy dNvdx
@@ -329,11 +346,15 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     C = tri.capacity
     as_bits = config is not None and getattr(config, "record_pack", "value") == "bits"
     pack_i32 = _i32_to_bits if as_bits else (lambda a, xp: a.astype(xp.float32))
-    cols = [
-        pack_i32(tri.xs, xp),
-        pack_i32(tri.ys, xp),
-        pack_i32(tri.mat_id.reshape(C, 1), xp),
-    ]
+    cols = (
+        [
+            pack_i32(tri.xs, xp),
+            pack_i32(tri.ys, xp),
+            pack_i32(tri.mat_id.reshape(C, 1), xp),
+        ]
+        if ints
+        else []
+    )
     if uv_slot is not None:
         terms = _lod_terms(tri, uv_slot, config, xp)
         cols.append(xp.stack(terms, axis=-1).astype(xp.float32))
@@ -342,7 +363,7 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None):
     aw = xp.transpose(tri.attr_w, (0, 2, 1)).reshape(C, 3 * A)
     cols.append(aw.astype(xp.float32))
     cols.append(tri.inv_w.astype(xp.float32))
-    return xp.concatenate(cols, axis=1), 7
+    return xp.concatenate(cols, axis=1), (7 if ints else 0)
 
 
 def _lod_terms(tri: TriBuf, uv_slot, config, xp):
