@@ -15,6 +15,7 @@ from xr.cpu_ref import render_frame
 from xr.scene.presets import (
     config2_icospheres,
     config3_terrain,
+    config4_blend,
     config4_phong,
     small_preset,
 )
@@ -23,7 +24,8 @@ pytestmark = pytest.mark.tpu
 
 
 @pytest.mark.parametrize(
-    "preset_fn", [config2_icospheres, config3_terrain, config4_phong]
+    "preset_fn",
+    [config2_icospheres, config3_terrain, config4_phong, config4_blend],
 )
 def test_device_frame_matches_oracle(preset_fn):
     """Gouraud, textured, AND Phong frames must match the oracle <= 1 LSB
