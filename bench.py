@@ -17,7 +17,46 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_xr")
 
 
+def _await_backend_health(deadline_s: float) -> None:
+    """Poll until the TPU backend answers a COMPILE-FREE health check.
+
+    The axon backend has hours-long outages with two failure modes
+    (CLAUDE.md): fast-fail UNAVAILABLE errors and hard hangs of even
+    jax.devices(). Each attempt runs in a SUBPROCESS so a hang can be
+    timeout-killed safely (no compile in flight to wedge). After the
+    deadline the bench proceeds anyway and fails loudly on its own.
+    """
+    import subprocess
+    import sys
+
+    check = (
+        "import jax, numpy as np\n"
+        "d = jax.devices()[0]\n"
+        "x = jax.device_put(np.arange(8, dtype=np.float32), d)\n"
+        "assert float(np.asarray(x)[3]) == 3.0\n"
+    )
+    t_end = time.monotonic() + deadline_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", check], timeout=300,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= t_end:
+            print(
+                "# bench: backend health check still failing at deadline; "
+                "attempting anyway", flush=True,
+            )
+            return
+        time.sleep(60)
+
+
 def main(frames: int = 30):
+    _await_backend_health(float(os.environ.get("XR_BENCH_HEALTH_WAIT", 1800)))
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
