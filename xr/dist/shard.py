@@ -107,6 +107,13 @@ def render_step_sharded(
                 scene, jnp.asarray(light_view), jnp.asarray(light_proj),
                 shadow_cfg, xp=jnp, capacity=cap,
             )
+            if config.blend:
+                # blend state composes with sharding exactly as with the
+                # single-device step (xr/app/renderer._depth_pass):
+                # transparent records cast no shadows
+                from xr.shading.blend import opaque_valid
+
+                s_tri = s_tri.replace(valid=opaque_valid(s_tri, scene, jnp))
             _, s_zbuf, s_bin_of = dispatch.visibility(s_tri, shadow_cfg, cap)
             shadow_depth = jnp.where(jnp.isinf(s_zbuf), 1.0, s_zbuf).astype(
                 jnp.float32
@@ -115,11 +122,18 @@ def render_step_sharded(
         # geometry sees the FULL frame (its screen reject must not cull
         # triangles belonging to other bands); only raster/shade are banded
         tri = geometry(scene, view, proj, config, xp=jnp, capacity=cap)
+        vis_tri = tri
+        if config.blend:
+            # transparent records win no pixels in the opaque passes
+            from xr.shading.blend import opaque_valid
+
+            vis_tri = tri.replace(valid=opaque_valid(tri, scene, jnp))
         tid, zbuf, bin_of = dispatch.visibility(
-            tri, band_cfg, cap, y_offset=y_off
+            vis_tri, band_cfg, cap, y_offset=y_off
         )
         depth = jnp.where(jnp.isinf(zbuf), 1.0, zbuf).astype(jnp.float32)
 
+        blend_of = jnp.int32(0)
         if config.mode == MODE_DEPTH_ONLY:
             color = jnp.zeros((Hb, W, 3), jnp.uint8)
         else:
@@ -136,6 +150,17 @@ def render_step_sharded(
                 shade_hook=shade_hook,
                 depth=depth,
             )
+            if config.blend:
+                # per-band composite over the shaded band: every band walks
+                # the full (replicated) transparent record list in record-id
+                # order against its own pixel rows, so composite order — the
+                # blend semantics — is identical to the single-device pass
+                from xr.shading.blend import composite_transparent
+
+                rgb, blend_of = composite_transparent(
+                    rgb, depth, tri, scene, band_cfg, camera.eye, xp=jnp,
+                    y_offset=y_off,
+                )
             color = sm.resolve_u8(rgb, jnp)
 
         # THE cross-chip step: band framebuffers -> full frame over ICI
@@ -158,6 +183,10 @@ def render_step_sharded(
                 jnp.sum(depth < 1.0).astype(jnp.int32), "bands"
             ),
         }
+        if config.blend:
+            # replicated count (derived from the replicated geometry), like
+            # tris_setup — no psum
+            stats["blend_overflow"] = blend_of
         return color_full, depth_full, stats
 
     # check_vma=False: the all_gather makes outputs replicated, but the
