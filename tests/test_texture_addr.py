@@ -80,6 +80,24 @@ def test_mtl_clamp_option(tmp_path):
     assert "clamp" not in m["c"] and m["c"]["map_Kd"] == "plain.png"
 
 
+def test_mtl_multiarg_options(tmp_path):
+    """2-arg `-mm base gain` must not desync the option scan and eat the
+    filename (ADVICE r3); unknown multi-arg options fall back to the last
+    token rather than silently losing the texture."""
+    from xr.scene.objio import parse_mtl
+
+    p = tmp_path / "m.mtl"
+    p.write_text(
+        "newmtl a\nmap_Kd -mm 0.1 0.9 tex.png\n"
+        "newmtl b\nmap_Kd -bm 2.0 bump.png\n"
+        "newmtl c\nmap_Kd -imaginary 1 2 3 weird.png\n"
+    )
+    m = parse_mtl(str(p))
+    assert m["a"]["map_Kd"] == "tex.png"
+    assert m["b"]["map_Kd"] == "bump.png"
+    assert m["c"]["map_Kd"] == "weird.png"  # last-token fallback
+
+
 def test_clamp_end_to_end_parity():
     """Device == oracle (<=1 LSB) with a clamped material, end-to-end."""
     from xr.app.renderer import Renderer

@@ -106,8 +106,12 @@ class RenderConfig:
     medium_capacity: int = 2048
 
     # Streaming-kernel global entry capacity, as a multiple of the post-clip
-    # triangle capacity (total bin entries across ALL tiles; <= 4x by
-    # construction, ~1.2x typical). Overflow is counted loudly.
+    # triangle capacity (total bin entries across ALL tiles). Small tris
+    # emit <= 4 entries each (~1.2x typical); MEDIUM-class tris emit up to
+    # medium_span^2 entries each, so scenes with many medium tris can
+    # exceed 4x — overflow is counted loudly (dropped whole blocks feed
+    # bin_overflow and readback_frame raises); raise this or pin
+    # stream_entry_cap to the measured entry count if it fires.
     stream_expand: float = 2.0
 
     # Streaming-kernel records per block. Smaller blocks waste less record-
@@ -185,7 +189,8 @@ class RenderConfig:
     # Alpha blending (the reference PSO's blend-state axis, SURVEY.md §2.1).
     # When True, triangles whose material alpha < 1 are excluded from every
     # visibility pass (win no pixels, cast no shadows) and composited
-    # back-to-front in RECORD ID ORDER over the shaded frame, depth-tested
+    # back-to-front in SOURCE TRIANGLE ORDER over the shaded frame (clipped
+    # fans inherit their parent's order via TriBuf.src_id), depth-tested
     # read-only against the opaque z-buffer: out = dst*(1-a) + src*a.
     # See xr/shading/blend.py for the contract and v1 shading scope.
     blend: bool = False

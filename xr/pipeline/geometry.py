@@ -50,6 +50,12 @@ class TriBuf(struct.PyTreeNode):
     attr_w:   (C, 3, A) f32 — per-vertex attributes premultiplied by 1/w
     face_rgb: (C, 3) f32 — flat-shading payload (per source triangle)
     mat_id:   (C,)  i32 — material index payload
+    src_id:   (C,)  i32 — SOURCE triangle index (input mesh order); clipped
+                    fan records carry their parent triangle's id. The blend
+                    pass composites in src_id order, so back-to-front blend
+                    semantics survive clipping (ADVICE r3: fans are emitted
+                    at the buffer end, so record order alone is wrong for
+                    partially-clipped transparent geometry)
     valid:    (C,)  bool
     count:    ()    i32 — number of valid entries (<= C)
     overflow: ()    i32 — triangles dropped because capacity was exceeded
@@ -63,6 +69,7 @@ class TriBuf(struct.PyTreeNode):
     attr_w: Any
     face_rgb: Any
     mat_id: Any
+    src_id: Any
     valid: Any
     count: Any
     overflow: Any
@@ -464,6 +471,8 @@ def geometry(
     matB = xp.broadcast_to(
         mesh.material_id.astype(xp.int32)[sel][:, None], (B, F)
     )
+    src_idA = xp.arange(T, dtype=xp.int32)
+    src_idB = xp.broadcast_to(sel.astype(xp.int32)[:, None], (B, F))
 
     # ---- identity record layout (capacity covers every triangle) ----------
     # When C >= T + B*F no compaction is needed: record id == input triangle
@@ -518,6 +527,7 @@ def geometry(
             ),
             face_rgb=cat(rgbA, rgbB),
             mat_id=cat(matA, matB),
+            src_id=cat(src_idA, src_idB),
             valid=validI,
             count=(totalA_i + totalB_i).astype(xp.int32),
             overflow=xp.maximum(crossing_total - B, 0).astype(xp.int32),
@@ -543,7 +553,7 @@ def geometry(
 
         return jax.lax.bitcast_convert_type(x, xp.float32)
 
-    def pack(xs_, ys_, z_, iw_, aw_, rgb_, mat_, rows):
+    def pack(xs_, ys_, z_, iw_, aw_, rgb_, mat_, src_, rows):
         cols = [
             bits(xs_.reshape(rows, 3)),
             bits(ys_.reshape(rows, 3)),
@@ -552,11 +562,12 @@ def geometry(
             aw_.reshape(rows, 3 * A) if A else aw_.reshape(rows, 0),
             rgb_.reshape(rows, 3),
             bits(mat_.reshape(rows, 1).astype(xp.int32)),
+            bits(src_.reshape(rows, 1).astype(xp.int32)),
         ]
         return xp.concatenate(cols, axis=1)
 
-    packA = pack(xsA, ysA, zA, iwA, awA, rgbA, matA, T)
-    packB = pack(xsB, ysB, zB, iwB, awB, rgbB, matB, BF)
+    packA = pack(xsA, ysA, zA, iwA, awA, rgbA, matA, src_idA, T)
+    packB = pack(xsB, ysB, zB, iwB, awB, rgbB, matB, src_idB, BF)
     fm = from_a[:, None]
     merged = xp.where(fm, packA[idxA], packB[srcB])  # (C, K)
 
@@ -582,6 +593,7 @@ def geometry(
         attr_w=merged[:, 12 : 12 + 3 * A].reshape(C, 3, A),
         face_rgb=merged[:, 12 + 3 * A : 15 + 3 * A],
         mat_id=ubits(merged[:, 15 + 3 * A]),
+        src_id=ubits(merged[:, 16 + 3 * A]),
         valid=valid,
         count=out_count,
         overflow=overflow,

@@ -272,6 +272,13 @@ def bin_triangles(
             (mtile << idbits) | mid[:, None, None],
             (ntiles << idbits),
         ).reshape(-1)
+        if mkeys.shape[0] % 2:
+            # keep the total key count EVEN: pallas_stream fetches sorted
+            # ids through a paired (2C, 2) view (sid.reshape(-1, 2)), which
+            # an odd medium_capacity * medium_span^2 would break
+            mkeys = jnp.concatenate(
+                [mkeys, jnp.full((1,), ntiles << idbits, mkeys.dtype)]
+            )
         keys = jnp.concatenate([keys, mkeys])
 
     skeys = jnp.sort(keys)

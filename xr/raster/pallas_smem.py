@@ -41,11 +41,14 @@ def pack_tri_records(tri: TriBuf, yo):
              int32 (c_k = e_k(0,0), |c_k| <= 2*span^2 by the fixedpoint
              bound; intermediate wraparound is modular-safe)
       9..11  z0 z1 z2 (f32 bits)
-      12     z_min = min(z0, z1, z2) (f32 bits) — occlusion early-out: a
-             record whose nearest vertex is strictly behind every pixel of
-             the tile's current z-buffer cannot win any (z, id) lex-min
-             test, so the kernels skip its band loop entirely. Adjacent to
-             z so the stream prep's f32 window is ONE contiguous slice.
+      12     z_min = min(z0, z1, z2) DEFLATED by an 8-ulp margin (f32
+             bits) — occlusion early-out: a record whose nearest vertex is
+             strictly behind every pixel of the tile's current z-buffer
+             cannot win any (z, id) lex-min test, so the kernels skip its
+             band loop entirely; the margin absorbs f32 interpolation
+             rounding (zf can land a few ulps below the true vertex min),
+             keeping the early-out bit-exact. Adjacent to z so the stream
+             prep's f32 window is ONE contiguous slice.
       13     triangle id
       14     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
       15     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
@@ -79,7 +82,16 @@ def pack_tri_records(tri: TriBuf, yo):
 
     byp = bpack(ys.min(axis=1), ys.max(axis=1))
     bxp = bpack(xs.min(axis=1), xs.max(axis=1))
-    zminb = jax.lax.bitcast_convert_type(tri.z.min(axis=1), jnp.int32)
+    # Deflated occlusion bound (ADVICE r3): interpolated zf = sum of three
+    # rounded f32 products can land a few ulps BELOW min(z0,z1,z2), so a
+    # record with z_min one ulp above the tile's zmax could be skipped yet
+    # win a near-tie pixel. Deflate by 8 ulps relative + an absolute tiny
+    # (covers z_min == 0) so "z_min' > zmax => cannot win" holds under the
+    # <= ~5-ulp interpolation error; the early-out stays bit-exact vs the
+    # no-early-out backends.
+    zmin = tri.z.min(axis=1)
+    zmin = (zmin * (1.0 - 8.0 * 2.0**-23) - 1e-35).astype(jnp.float32)
+    zminb = jax.lax.bitcast_convert_type(zmin, jnp.int32)
     return jnp.concatenate(
         [jnp.stack(cols, axis=1), zbits]
         + [

@@ -170,16 +170,30 @@ def parse_mtl(path: str):
                 # map_Kd [-options ...] file; honor `-clamp on` (texture
                 # address mode, Material.tex_addr), skip other options
                 toks = s[6:].strip().split()
-                i = 0
+                i, unknown = 0, False
                 while i < len(toks) and toks[i].startswith("-"):
                     if toks[i] == "-clamp" and i + 1 < len(toks):
                         mats[cur]["clamp"] = toks[i + 1].lower() == "on"
                         i += 2
                     elif toks[i] in ("-o", "-s", "-t"):  # 3-arg options
                         i += 4
-                    else:
+                    elif toks[i] == "-mm":  # -mm base gain: 2 args
+                        i += 3
+                    elif toks[i] in (
+                        "-blendu", "-blendv", "-cc", "-texres", "-bm",
+                        "-boost", "-imfchan",
+                    ):  # 1-arg options
                         i += 2
-                if i < len(toks):
+                    else:
+                        # unknown option, unknown arity: the scan may be
+                        # desynced — fall back to the LAST token as the
+                        # filename (a guess beats silently losing the map)
+                        unknown = True
+                        i += 2
+                if unknown:
+                    if toks and not toks[-1].startswith("-"):
+                        mats[cur]["map_Kd"] = toks[-1]
+                elif i < len(toks):
                     mats[cur]["map_Kd"] = " ".join(toks[i:])
     return mats
 

@@ -10,9 +10,13 @@ fold over the transparent records in ascending record id — the classic
 back-to-front painter's blend, `out = dst*(1-a) + src*a`, depth-tested
 (read-only) against the opaque depth buffer.
 
-CONTRACT: record id order IS composite order. Geometry preserves input
-triangle order, so the app supplies transparent geometry sorted
-back-to-front (the same contract classic D3D blended draws impose).
+CONTRACT: SOURCE triangle order IS composite order. The app supplies
+transparent geometry sorted back-to-front (the same contract classic D3D
+blended draws impose); the composite orders records by TriBuf.src_id, so
+the contract survives clipping — Sutherland-Hodgman fans are emitted at
+the end of the record buffer but carry their parent triangle's src_id
+(ADVICE r3). Fan pieces of one source triangle never overlap on screen,
+so their relative order is immaterial.
 
 Shared by the CPU oracle and the device pipeline (xp-generic, like the
 deferred pass) — blending semantics exist once (SURVEY.md §7.3.3).
@@ -35,7 +39,7 @@ from xr.core.types import (
     RenderConfig,
     Scene,
 )
-from xr.pipeline.geometry import TriBuf, _is_np, _sort_compact_ids
+from xr.pipeline.geometry import TriBuf, _is_np
 from xr.raster import common as rc
 
 
@@ -61,6 +65,25 @@ def opaque_valid(tri: TriBuf, scene: Scene, xp):
     return tri.valid & ~transparent_mask(tri, scene, xp)
 
 
+def _src_ordered_ids(tri: TriBuf, tmask, cap: int, xp):
+    """Record indices of transparent records in ascending SOURCE triangle
+    order (stable: ties — fan pieces of one source tri — keep record
+    order), padded to cap. Returns (ids (cap,), total ())."""
+    C = tmask.shape[0]
+    big = xp.int32(2**30)
+    keys = xp.where(tmask, tri.src_id.astype(xp.int32), big)
+    if _is_np(xp):
+        order = np.argsort(keys, kind="stable").astype(np.int32)
+    else:
+        order = xp.argsort(keys, stable=True).astype(xp.int32)
+    if cap <= C:
+        ids = order[:cap]
+    else:
+        ids = xp.concatenate([order, xp.zeros((cap - C,), xp.int32)])
+    total = xp.sum(tmask.astype(xp.int32))
+    return ids, total
+
+
 def composite_transparent(
     color,
     depth,
@@ -83,7 +106,7 @@ def composite_transparent(
     ch = min(config.blend_chunk, cap)
     alpha = material_alpha(scene, xp)
     tmask = transparent_mask(tri, scene, xp)
-    ids, _, total = _sort_compact_ids(tmask, cap, xp)
+    ids, total = _src_ordered_ids(tri, tmask, cap, xp)
     overflow = xp.maximum(total - cap, 0).astype(xp.int32)
 
     px, py = rc.pixel_grids(W, H, config.subpixel, xp)
@@ -93,7 +116,7 @@ def composite_transparent(
     eye = xp.asarray(eye, xp.float32)
 
     for c0 in range(0, cap, ch):
-        sl = ids[c0 : c0 + ch]  # (ch,) record indices, ascending
+        sl = ids[c0 : c0 + ch]  # (ch,) record indices, ascending src_id
         ok = slot_valid[c0 : c0 + ch]
 
         def chunk(color, sl=sl, ok=ok):
