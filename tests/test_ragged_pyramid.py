@@ -160,3 +160,55 @@ def test_twolevel_fetch_bit_identical():
             w = sm.sample_trilinear(pyr, tid, u, v, lod, np, fetch="wide", addr=a)
             t = sm.sample_trilinear(pyr, tid, u, v, lod, np, fetch="twolevel", addr=a)
             assert (w == t).all(), "twolevel diverged from wide"
+
+
+def test_area_cap_drops_top_mips_of_largest():
+    """max_total_rows: the largest texture loses its finest level(s) until
+    the quad table fits; capped textures sample exactly like their own
+    box-filtered first mip at native size (PERF.md round 3: >~300k-row
+    tables flip the per-pixel gather to element rate)."""
+    from xr.scene.texture import _mip_levels, chain_rows
+
+    big = checkerboard(128)
+    small = noise_texture(32, seed=5)
+    cap = chain_rows(64) + chain_rows(32)
+    rag = build_ragged_pyramid([big, small], max_total_rows=cap)
+    assert rag.quads.shape[0] <= cap
+    assert list(rag.base_size_per_tex) == [64, 32]
+
+    # capped big == its own first mip as a native-size texture
+    ref = build_ragged_pyramid([_mip_levels(big)[1], small])
+    assert (rag.quads == ref.quads).all()
+    assert (rag.level_offset == ref.level_offset).all()
+
+    # unreachable cap fails loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_ragged_pyramid([big, small], max_total_rows=1)
+
+
+def test_area_cap_scene_end_to_end():
+    """A capped courtyard keeps oracle/device parity (the cap changes the
+    pyramid CONTENT, never the sampling semantics)."""
+    import dataclasses
+
+    from xr.app.renderer import Renderer
+    from xr.cpu_ref import render_frame
+    from xr.scene.presets import config6_asset, small_preset
+
+    p = small_preset(
+        config6_asset(max_tex_rows=300_000), 128, 72,
+        bin_capacity=49152, shadow_map_size=128,
+    )
+    assert p.scene.textures.quads.shape[0] <= 300_000
+    cam, mm = p.animate(0.4, np)
+    scene = p.scene.replace(model_matrices=mm)
+    of = render_frame(scene, cam, p.config)
+    r = Renderer(scene, p.config)
+    df = r.readback(r.step(scene, cam))
+    diff = np.abs(df.color.astype(int) - of.color.astype(int))
+    bad = (diff.max(axis=-1) > 1).sum()
+    assert bad <= df.color.shape[0] * df.color.shape[1] * 0.001, (
+        f"{bad} pixels differ >1 LSB (max {diff.max()})"
+    )

@@ -198,12 +198,19 @@ def parse_mtl(path: str):
     return mats
 
 
-def load_obj_scene(path: str, lights=None, native: bool = True):
+def load_obj_scene(
+    path: str, lights=None, native: bool = True,
+    max_tex_rows: int | None = None,
+):
     """Load an OBJ (+ its .mtl, + map_Kd textures) as a renderable Scene.
 
     MTL mapping to the xr material model: base_color = Kd, ks = mean(Ks),
     shininess = Ns, map_Kd -> texture (resized/padded to the largest
     power-of-two square among the maps). Missing .mtl -> default material.
+
+    max_tex_rows: optional texture-area cap for mixed-size scenes — see
+    build_ragged_pyramid (keeps the per-pixel texture gather in the fast
+    row-major regime by dropping the largest maps' finest mip).
     """
     from xr.core.image import read_png
     from xr.core.types import Lights, Material, Scene
@@ -257,14 +264,14 @@ def load_obj_scene(path: str, lights=None, native: bool = True):
             return im[yi][:, xi]
 
         squared = [to_pot_square(im) for im in images]
-        if len({im.shape[0] for im in squared}) == 1:
+        if max_tex_rows is None and len({im.shape[0] for im in squared}) == 1:
             pyramid = build_pyramid(squared)  # uniform fast path
         else:
             # MIXED sizes: each texture keeps its native resolution
             # (RaggedPyramid) — no cross-texture resampling loss
             from xr.scene.texture import build_ragged_pyramid
 
-            pyramid = build_ragged_pyramid(squared)
+            pyramid = build_ragged_pyramid(squared, max_tex_rows)
 
     if lights is None:
         lights = Lights.make(

@@ -359,7 +359,7 @@ def config5_flythrough(nx: int = 708, nz: int = 708) -> Preset:
     return Preset("config5_flythrough", scene, animate, cfg)
 
 
-def config6_asset(assets_dir: str = None) -> Preset:
+def config6_asset(assets_dir: str = None, max_tex_rows: int = None) -> Preset:
     """Config 6: the LOADED-asset flagship scene — a ~96k-tri multi-material
     courtyard read from disk through the full asset pipeline (OBJ parser ->
     MTL -> map_Kd PNGs of three different sizes -> mips -> render), with
@@ -397,6 +397,9 @@ def config6_asset(assets_dir: str = None) -> Preset:
             dir_colors=[(1.0, 0.96, 0.88), (0.18, 0.2, 0.26)],
             ambient=(0.16, 0.16, 0.18),
         ),
+        # texture-area cap (see build_ragged_pyramid): None = native
+        # quality; ~300k keeps the per-pixel quad gather row-major
+        max_tex_rows=max_tex_rows,
     )
 
     def animate(t, xp=np):
@@ -427,6 +430,16 @@ def config6_asset(assets_dir: str = None) -> Preset:
     return Preset("config6_asset", scene, animate, cfg)
 
 
+def config6_capped() -> Preset:
+    """Config 6 with the ~300k-row texture-area cap: the 512 map renders
+    from its own first mip, keeping the per-pixel quad gather in the fast
+    row-major regime (PERF.md round 3 "config6's flipped texture gather";
+    the documented quality knob — measured 39.1 dB PSNR vs native at
+    480x270). Benchmarked as config6cap for the on/off A/B."""
+    p = config6_asset(max_tex_rows=300_000)
+    return Preset("config6cap", p.scene, p.animate, p.config)
+
+
 ALL_PRESETS = {
     "config1": config1_cube,
     "config2": config2_icospheres,
@@ -435,6 +448,7 @@ ALL_PRESETS = {
     "config4b": config4_blend,
     "config5": config5_flythrough,
     "config6": config6_asset,
+    "config6cap": config6_capped,
 }
 
 

@@ -94,13 +94,32 @@ def _mip_levels(im: np.ndarray):
     return levels
 
 
-def build_ragged_pyramid(images: Sequence[np.ndarray]) -> RaggedPyramid:
+def chain_rows(size: int) -> int:
+    """Total quad-table rows of one texture's full mip chain (one row per
+    texel, every level down to 1x1)."""
+    return sum((size >> k) ** 2 for k in range(size.bit_length()))
+
+
+def build_ragged_pyramid(
+    images: Sequence[np.ndarray], max_total_rows: int | None = None
+) -> RaggedPyramid:
     """Mixed-size pyramid: each (S_i, S_i, 3) f32 square power-of-two
     texture keeps its native size. Per-texture mip chains (same box filter
     and 13-texel quad layout as build_pyramid) flatten into one buffer;
     per-(texture, level) offset/size tables index it. Levels past a
     texture's native chain repeat its 1x1 tail, so a shared static Lmax
     level axis needs no per-pixel chain-length clamp beyond table lookup.
+
+    max_total_rows: optional build-time TEXTURE AREA CAP — while the total
+    quad-table row count exceeds it, the largest texture is replaced by
+    its own first box-filtered mip (drops only its finest level). Past
+    ~300k rows XLA flips the per-pixel quad gather to element-rate
+    (~3.5x slower at 1080p: 12.8 ms vs 3.7 ms — PERF.md round 3
+    "config6's flipped texture gather"), so capping trades the largest
+    maps' top mip for the fast gather regime. The quality cost is exactly
+    a half-resolution cap on those textures (measured per scene; the
+    sampler semantics are unchanged — oracle and device share the capped
+    pyramid).
     """
     imgs = [np.asarray(im, np.float32) for im in images]
     for im in imgs:
@@ -108,6 +127,17 @@ def build_ragged_pyramid(images: Sequence[np.ndarray]) -> RaggedPyramid:
         assert s & (s - 1) == 0 and s > 0 and im.shape[:2] == (s, s), (
             f"textures must be square power-of-two, got {im.shape}"
         )
+    if max_total_rows is not None:
+        while sum(chain_rows(im.shape[0]) for im in imgs) > max_total_rows:
+            k = max(range(len(imgs)), key=lambda i: imgs[i].shape[0])
+            if imgs[k].shape[0] <= 1:
+                raise ValueError(
+                    f"max_total_rows={max_total_rows} unreachable: "
+                    f"{len(imgs)} textures need "
+                    f"{sum(chain_rows(im.shape[0]) for im in imgs)} rows "
+                    "even at 1x1"
+                )
+            imgs[k] = _mip_levels(imgs[k])[1]
     lmax = max(im.shape[0].bit_length() for im in imgs)
 
     flats, quads = [], []
