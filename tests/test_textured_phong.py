@@ -157,3 +157,36 @@ def test_record_pack_bits_value_identical():
     for pack in ("bits", "split"):
         assert (frames["value"].color == frames[pack].color).all(), pack
         assert (frames["value"].depth == frames[pack].depth).all(), pack
+
+
+def test_split_and_recompute_axes_identical():
+    """The scale-regime fetch axes (RenderConfig.record_split, tex_split,
+    lod_fetch='recompute') are bit-identical to the defaults on the jnp
+    device path — they reshape GATHERS, never values (built for >~300k-row
+    tables where the single gather flips to element rate; PERF.md)."""
+    p = small_preset(config3_terrain(nx=48, nz=48), 128, 96, bin_capacity=8192)
+    cam, mm = p.animate(0.3, np)
+    scene = p.scene.replace(model_matrices=mm)
+    base = Renderer(scene, p.config)
+    ref = base.readback(base.step(scene, cam))
+    for name, over in (
+        ("record_split2", dict(record_split=2)),
+        ("record_split3", dict(record_split=3)),
+        ("tex_split2", dict(tex_split=2)),
+        ("lod_recompute", dict(lod_fetch="recompute")),
+        ("all", dict(record_split=2, tex_split=2, lod_fetch="recompute")),
+    ):
+        cfg = dataclasses.replace(p.config, **over)
+        r = Renderer(scene, cfg)
+        f = r.readback(r.step(scene, cam))
+        assert (f.color == ref.color).all(), name
+        assert (f.depth == ref.depth).all(), name
+
+    # the ORACLE is also unchanged by the axes (numpy takes the direct
+    # gather; lod recompute runs the same expressions)
+    of = render_frame(
+        scene, cam,
+        dataclasses.replace(p.config, record_split=2, lod_fetch="recompute"),
+    )
+    of0 = render_frame(scene, cam, p.config)
+    assert (of.color == of0.color).all()

@@ -18,6 +18,33 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def split_row_gather(table, idx, split: int, xp=np):
+    """Per-row gather table[idx], optionally as `split` row-range slice
+    gathers + one range select (RenderConfig.record_split / tex_split).
+
+    Built for tables past XLA's ~300k-row layout-flip threshold, where a
+    single gather runs at element rate (~1.3 ns/element) instead of row
+    rate: each sub-threshold slice keeps the row-major {1,0:T(8,128)}
+    regime, each pixel still materializes row-rate outputs, and ONE
+    xp.where chain keeps its own range's row. Values are identical to
+    table[idx] by construction, so the numpy oracle always takes the
+    direct path. Measure before enabling (PERF.md gather economics)."""
+    if split <= 1 or xp is np:
+        return table[idx]
+    n = table.shape[0]
+    n2 = -(-n // split)
+    parts = []
+    for i in range(split):
+        sl = table[i * n2 : min((i + 1) * n2, n)]
+        j = xp.clip(idx - i * n2, 0, sl.shape[0] - 1)
+        parts.append(sl[j])
+    out = parts[-1]
+    for i in range(split - 2, -1, -1):
+        keep = (idx < (i + 1) * n2)[..., None]
+        out = xp.where(keep, parts[i], out)
+    return out
+
+
 def lambert(normal, light_dir, xp=np):
     """Diffuse factor for a directional light. `light_dir` is the direction
     the light TRAVELS; shading uses -light_dir."""
@@ -137,7 +164,7 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size, xp=np):
 
 
 def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
-                     addr=None):
+                     addr=None, split: int = 1):
     """Perspective-correct trilinear texture sample.
 
     pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
@@ -282,7 +309,11 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
         def rowc(c):
             return qcols[c][qidx]
     else:
-        row = flat_q[qidx]  # (..., 13) — one row gather + one relayout
+        # one row gather + one relayout; split > 1 cuts the table into
+        # sub-threshold row ranges (split_row_gather — the lossless dodge
+        # for >~300k-row ragged tables whose single gather flips to
+        # element rate, e.g. config6's 459k rows at 12.8 ms)
+        row = split_row_gather(flat_q, qidx, split, xp)
 
         def rowc(c):
             return row[..., c]

@@ -148,6 +148,31 @@ class RenderConfig:
     # results; which is faster is scale-dependent (PERF.md round 3).
     deferred_fetch: str = "wide"
 
+    # Id-range SPLIT of the per-pixel record table: the (C, K) table is cut
+    # into record_split row-range slices, each pixel gathers ONE row from
+    # EVERY slice (clamped id) and a range select keeps its own. Pointless
+    # in the row-major gather regime (extra gathers, same result) — built
+    # for capacities past XLA's ~300k-row layout-flip threshold where the
+    # single gather runs at element rate (config5: C=430k): slices under
+    # the threshold gather at row rate. Distinct from the round-2 "chunked
+    # sub-threshold tables" (per-chunk recompute) and the round-3
+    # multi-record packs (one gather, P*K columns): here each pixel still
+    # materializes row-rate (N, K) outputs and ONE select. All values
+    # bit-identical; measure before enabling (PERF.md).
+    record_split: int = 1
+
+    # Where the 6 per-record texture-LOD derivative terms come from in the
+    # deferred pass: "record" (default) packs them as 6 record columns
+    # (free in the row-major gather regime — row gathers are width-
+    # independent); "recompute" rebuilds them per PIXEL from columns the
+    # record already carries (xs, ys, uw, vw, 1/w) with the identical f32
+    # op order (bit-exact). Pays only in the element-rate regime (table
+    # past the layout flip), where 6 fewer gathered columns is ~19% of the
+    # record-gather bytes (config5/config6 scale); costs ~30 VPU flops per
+    # pixel. Measure before enabling (PERF.md round-3 record-fold lesson:
+    # fusion boundaries shift unpredictably).
+    lod_fetch: str = "record"
+
     # Texture quad fetch strategy for the (Ntex*P, 13) bilinear-quad table
     # in sample_trilinear; all values bit-identical. "wide" (default): one
     # 13-col row gather. "twolevel": two 4-texel own-quad gathers (l0+l1)
@@ -158,6 +183,14 @@ class RenderConfig:
     # selectable for re-testing. "fields": 13 per-column gathers (21x
     # slower at 1080p, PERF.md round 3).
     tex_fetch: str = "wide"
+
+    # Id-range split of the texture QUAD table (the tex analog of
+    # record_split, applied to tex_fetch="wide"): config6's 459k-row
+    # ragged quad table gathers at element rate (12.8 ms vs 3.7 ms
+    # row-rate — PERF.md round 3); splitting into sub-threshold row
+    # ranges is the LOSSLESS alternative to the RaggedPyramid area cap.
+    # Values bit-identical; measure before enabling.
+    tex_split: int = 1
 
     # How the integer record fields (xs, ys, mat_id) ride in the one f32
     # per-pixel record table (deferred pass). "value" (default): CONVERTED
@@ -215,6 +248,15 @@ class RenderConfig:
             f"at {self.width}x{self.height}"
         )
         assert self.record_pack in ("value", "bits", "split")
+        assert self.record_split >= 1
+        assert self.lod_fetch in ("record", "recompute")
+        assert not (self.record_split > 1 and self.record_pack == "split"), (
+            "record_split composes with the unified record table only "
+            "(record_pack 'value'/'bits')"
+        )
+        assert not (self.record_split > 1 and self.deferred_fetch != "wide"), (
+            "record_split applies to the wide record fetch only"
+        )
         if self.record_pack == "value":
             # value-packed record coords must be exact in f32: the geometry
             # stage clamps |coord| <= (8*max(W,H)+64)*sub (project_snap)

@@ -186,6 +186,10 @@ def shade_deferred(
         # gathers 21x slower; multi-record packed tables with select
         # chains or an explicit transpose 4-13x slower at BOTH config3
         # and config5 scale. Touch this block only with a trace in hand.)
+        # when lod_fetch == "recompute" the 6 LOD columns stay OUT of the
+        # record and are rebuilt per pixel below (bit-exact; pays only in
+        # the element-rate gather regime — see RenderConfig.lod_fetch)
+        pack_uv = uv_slot if config.lod_fetch == "record" else None
         if config.record_pack == "split":
             # int fields in their OWN int32 table, gathered natively — no
             # int bit patterns ever ride f32 lanes (hazard-free fallback;
@@ -198,12 +202,12 @@ def shade_deferred(
             xs, ys = irec[..., 0:3], irec[..., 3:6]
             fetch_mat_col = lambda: irec[..., 6]
             table, lod_base = _pack_records(
-                tri, A, xp, config, uv_slot, ints=False
+                tri, A, xp, config, pack_uv, ints=False
             )
             rec = table[t]  # (H*W, K-7)
         else:
-            table, lod_base = _pack_records(tri, A, xp, config, uv_slot)
-            rec = table[t]  # (H*W, K)
+            table, lod_base = _pack_records(tri, A, xp, config, pack_uv)
+            rec = _gather_rows(table, t, config.record_split, xp)  # (N, K)
             unpack_i32 = (
                 _bits_to_i32
                 if config.record_pack == "bits"
@@ -222,7 +226,7 @@ def shade_deferred(
         # axis=-2) over (N, 3, A+1), so results are bit-identical, but
         # every consumer is a cheap column slice of the one relayouted
         # record (no (N, 3, A+1) reshape materialization, ~0.9 ms at 1080p).
-        att0 = lod_base + (6 if uv_slot is not None else 0)
+        att0 = lod_base + (6 if pack_uv is not None else 0)
 
         def interp(g):  # vertex-major group of 3 columns at att0 + 3*g
             c = att0 + 3 * g
@@ -233,11 +237,12 @@ def shade_deferred(
         def fetch_mat():
             return fetch_mat_col()
 
-        lod6 = (
-            tuple(rec[..., lod_base + i] for i in range(6))
-            if uv_slot is not None
-            else None
-        )
+        if uv_slot is None:
+            lod6 = None
+        elif config.lod_fetch == "record":
+            lod6 = tuple(rec[..., lod_base + i] for i in range(6))
+        else:
+            lod6 = _lod_terms_px(xs, ys, rec, att0, uv_slot, A, config, xp)
 
     denom = interp(A)  # interpolated 1/w (last group)
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
@@ -366,6 +371,35 @@ def _pack_records(tri: TriBuf, A: int, xp, config=None, uv_slot=None, ints=True)
     return xp.concatenate(cols, axis=1), (7 if ints else 0)
 
 
+def _gather_rows(table, t, split: int, xp):
+    """Per-pixel record-row gather — see sm.split_row_gather
+    (RenderConfig.record_split)."""
+    return sm.split_row_gather(table, t, split, xp)
+
+
+def _lod_terms_px(xs, ys, rec, att0, uv_slot, A, config, xp):
+    """Per-PIXEL recomputation of the six LOD derivative terms from
+    columns the record already carries (RenderConfig.lod_fetch =
+    "recompute"): the identical f32 expressions as _lod_terms evaluated on
+    the gathered xs/ys/uw/vw/1w instead of per record — same inputs, same
+    op order, bit-identical results."""
+    sub = float(config.subpixel)
+    a, b = fp.edge_coeffs(xs, ys, xp)  # (N, 3) exact ints
+    a_opp = xp.stack([a[:, 1], a[:, 2], a[:, 0]], axis=-1).astype(xp.float32)
+    b_opp = xp.stack([b[:, 1], b[:, 2], b[:, 0]], axis=-1).astype(xp.float32)
+    uw = rec[..., att0 + 3 * uv_slot : att0 + 3 * uv_slot + 3]
+    vw = rec[..., att0 + 3 * (uv_slot + 1) : att0 + 3 * (uv_slot + 1) + 3]
+    iw = rec[..., att0 + 3 * A : att0 + 3 * A + 3]
+    return (
+        ((a_opp * iw).sum(-1) * sub).astype(xp.float32),  # dD/dx
+        ((b_opp * iw).sum(-1) * sub).astype(xp.float32),  # dD/dy
+        ((a_opp * uw).sum(-1) * sub).astype(xp.float32),  # dNu/dx
+        ((b_opp * uw).sum(-1) * sub).astype(xp.float32),  # dNu/dy
+        ((a_opp * vw).sum(-1) * sub).astype(xp.float32),  # dNv/dx
+        ((b_opp * vw).sum(-1) * sub).astype(xp.float32),  # dNv/dy
+    )
+
+
 def _lod_terms(tri: TriBuf, uv_slot, config, xp):
     """The six per-RECORD texture-LOD derivative terms (dDdx dDdy dNudx
     dNudy dNvdx dNvdy), as a list of (C,) f32 arrays. The screen-space
@@ -430,7 +464,8 @@ def _sample_texture(
     if scene.materials.tex_addr is not None:
         addr = scene.materials.tex_addr[mat_id]
     texc = sm.sample_trilinear(
-        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch, addr=addr
+        pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch, addr=addr,
+        split=config.tex_split,
     )
     return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
 
