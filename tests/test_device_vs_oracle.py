@@ -141,3 +141,28 @@ def test_identity_vs_compacted_layout():
     np.testing.assert_array_equal(
         np.asarray(frames["compact"].depth), np.asarray(frames["identity"].depth)
     )
+
+
+def test_bin_pairs2_bitexact():
+    """bin_pairs=2 (lean pair emission + compacted quad class) produces
+    bit-identical frames to the 4-slot emission on the jnp binned path —
+    including with a tiny quad budget that forces overflow routing through
+    the large bucket (duplicate candidates are resolve-benign)."""
+    rng = np.random.default_rng(11)
+    scene = random_scene(rng, 300)  # many spans at 16x16 tiles incl. 2x2
+    cam = fixed_camera()
+    base = RenderConfig(
+        width=128, height=96, mode=MODE_GOURAUD, raster_path="binned",
+        tile_h=16, tile_w=16, bin_capacity=2048, medium_span=3,
+        medium_capacity=64,
+    )
+    r4 = Renderer(scene, base)
+    f4 = r4.readback(r4.step(scene, cam))
+    for quad_cap in (4096, 2):  # ample + overflow-forcing
+        cfg2 = dataclasses.replace(
+            base, bin_pairs=2, bin_quad_capacity=quad_cap
+        )
+        r2 = Renderer(scene, cfg2)
+        f2 = r2.readback(r2.step(scene, cam))
+        assert (f2.color == f4.color).all(), f"quad_cap={quad_cap}"
+        assert (f2.depth == f4.depth).all(), f"quad_cap={quad_cap}"

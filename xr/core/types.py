@@ -93,6 +93,18 @@ class RenderConfig:
     # per-triangle bin fan-out statically bounded (SURVEY.md §7.3.1).
     large_capacity: int = 1024
 
+    # Small-triangle pair-emission width. 4 (default): every small tri
+    # emits 4 static (tile, id) key slots into the bin sort (duplicates
+    # masked to sentinels — ~71% of sorted keys at config3). 2: emit 2
+    # slots (home + the 1x2/2x1 second tile) and compact the rare
+    # 2x2-spanning smalls into bin_quad_capacity extra 2-slot rows; quad
+    # OVERFLOW routes to the large bucket (duplicate-tolerant resolve —
+    # never dropped). Halves the sorted key count at the cost of one
+    # extra capacity-wide compaction; bit-identical images. Measure on
+    # device before switching defaults (PERF.md lane B).
+    bin_pairs: int = 4
+    bin_quad_capacity: int = 4096
+
     # Hierarchical MEDIUM bin class: triangles spanning <= medium_span x
     # medium_span tiles (but more than 2x2) are compacted (up to
     # medium_capacity of them) and binned per tile with up to
@@ -248,6 +260,7 @@ class RenderConfig:
             f"at {self.width}x{self.height}"
         )
         assert self.record_pack in ("value", "bits", "split")
+        assert self.bin_pairs in (2, 4)
         assert self.record_split >= 1
         assert self.lod_fetch in ("record", "recompute")
         assert not (self.record_split > 1 and self.record_pack == "split"), (
