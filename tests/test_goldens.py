@@ -22,6 +22,7 @@ FACTORIES = {
     "config4b": lambda: presets.config4_blend(),
     "config5": lambda: presets.config5_flythrough(nx=64, nz=64),
     "config6": lambda: presets.config6_asset(),
+    "config6cap": lambda: presets.config6_capped(),
 }
 
 
@@ -48,7 +49,7 @@ def test_device_matches_golden(name):
     # shadow-mapped configs (4 and 6)
     allowed = (
         max(2, int(npix * 0.001))
-        if name in ("config4", "config4b", "config6")
+        if name in ("config4", "config4b", "config6", "config6cap")
         else 0
     )
     assert bad <= allowed, f"{name}: {bad} px differ >1 LSB (max {diff.max()})"
