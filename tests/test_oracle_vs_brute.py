@@ -143,3 +143,28 @@ def test_oracle_depth_test_occlusion():
         expect = np.floor(np.clip(near_mat * 1.0 + 0, 0, 1) * 255 + 0.5).astype(np.uint8)
         # ambient(1,1,1)*ka*base = base
         assert (center == expect).all()
+
+
+@pytest.mark.parametrize("mode", [MODE_FLAT, MODE_GOURAUD])
+def test_oracle_blend_matches_brute(mode):
+    """The oracle's blended composite (xr/shading/blend.py: record
+    machinery, src_id ordering, chunked alpha-over) must match the brute
+    validator's independent input-order scalar blend pass."""
+    rng = np.random.default_rng(97 + mode)
+    for trial in range(3):
+        scene, camera = _random_scene(rng, num_tris=8, mode=mode)
+        # make material 1 transparent (every other triangle blends)
+        mats = scene.materials
+        alpha = np.asarray([1.0, 0.45], np.float32)
+        scene = scene.replace(materials=mats.replace(alpha=alpha))
+        config = RenderConfig(
+            width=48, height=40, mode=mode, blend=True, blend_capacity=16
+        )
+        frame = oracle.render_frame(scene, camera, config)
+        assert int(frame.stats["blend_overflow"]) == 0
+        b_color, b_depth = brute.render(scene, camera, config)
+
+        # transparent tris must not write depth in either implementation
+        np.testing.assert_allclose(frame.depth, b_depth, atol=1e-5)
+        diff = np.abs(frame.color.astype(int) - b_color.astype(int))
+        assert diff.max() <= 2, f"blend diff {diff.max()} (trial {trial})"

@@ -79,9 +79,20 @@ def render(scene: Scene, camera, config: RenderConfig):
             np,
         )
 
+    alpha_tab = getattr(scene.materials, "alpha", None)
+
+    def tri_alpha(t: int) -> float:
+        if not config.blend or alpha_tab is None:
+            return 1.0
+        return float(alpha_tab[int(mesh.material_id[t])])
+
     tri_index = 0
     f32 = np.float32
     for t in range(mesh.indices.shape[0]):
+        if tri_alpha(t) < 1.0:
+            # transparent under blend: wins no pixels, composited below
+            tri_index += 1
+            continue
         order = [int(i) for i in mesh.indices[t]]
         vs = []
         for vi in order:
@@ -165,6 +176,98 @@ def render(scene: Scene, camera, config: RenderConfig):
                     ) / den
                     color[iy, ix] = c
         tri_index += 1
+
+    # ---- independent blend pass: transparent tris in INPUT order --------
+    # (source-order alpha-over, read-only strict depth test; shares no
+    # code with xr/shading/blend.py — validates its composite end-to-end)
+    if config.blend and alpha_tab is not None:
+        for t in range(mesh.indices.shape[0]):
+            a = tri_alpha(t)
+            if a >= 1.0:
+                continue
+            order = [int(i) for i in mesh.indices[t]]
+            vs = []
+            for vi in order:
+                x, y, z, w = (f32(c) for c in clip[vi])
+                assert float(w) > 1e-6, (
+                    "brute rasterizer requires fully-visible scenes"
+                )
+                iw = f32(1.0) / np.maximum(w, f32(1e-12))
+                sx = (x * iw * f32(0.5) + f32(0.5)) * f32(W)
+                sy = (f32(0.5) - y * iw * f32(0.5)) * f32(H)
+                vs.append(
+                    (_snap(float(sx), sub), _snap(float(sy), sub), float(z * iw))
+                )
+            (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = vs
+            area2 = _edge(x0, y0, x1, y1, x2, y2)
+            if area2 == 0:
+                continue
+            if area2 < 0:
+                if config.cull_backfaces:
+                    continue
+                (x1, y1, z1), (x2, y2, z2) = (x2, y2, z2), (x1, y1, z1)
+                order[1], order[2] = order[2], order[1]
+                area2 = -area2
+            i0, i1, i2 = order
+            if config.mode == MODE_FLAT:
+                oi0, oi1, oi2 = (int(i) for i in mesh.indices[t])
+                e1w = world[oi1, :3] - world[oi0, :3]
+                e2w = world[oi2, :3] - world[oi0, :3]
+                fn = np.cross(e1w, e2w)
+                fn = fn / max(np.linalg.norm(fn), 1e-20)
+                mid = int(mesh.material_id[t])
+                rgb = sm.shade_flat_face(
+                    fn[None, :].astype(np.float32),
+                    scene.materials.base_color[mid][None, :],
+                    scene.materials.kd[mid][None],
+                    scene.lights,
+                    np,
+                )[0]
+            half = sub // 2
+            for iy in range(H):
+                py = iy * sub + half
+                for ix in range(W):
+                    px = ix * sub + half
+                    e0 = _edge(x1, y1, x2, y2, px, py)
+                    e1 = _edge(x2, y2, x0, y0, px, py)
+                    e2 = _edge(x0, y0, x1, y1, px, py)
+                    ok = True
+                    for e, (ax, ay, bx, by) in (
+                        (e0, (x1, y1, x2, y2)),
+                        (e1, (x2, y2, x0, y0)),
+                        (e2, (x0, y0, x1, y1)),
+                    ):
+                        if e < 0 or (e == 0 and not _tie_accept(ax, ay, bx, by)):
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    l0 = e0 / area2
+                    l1 = e1 / area2
+                    l2 = e2 / area2
+                    z = l0 * z0 + l1 * z1 + l2 * z2
+                    if not (0.0 <= z <= 1.0):
+                        continue
+                    # read-only strict test vs the RESOLVED depth (bg = 1.0,
+                    # exactly like the pipeline's post-resolve buffer)
+                    d = depth[iy, ix]
+                    if np.isinf(d):
+                        d = 1.0
+                    if not (z < d):
+                        continue
+                    if config.mode == MODE_FLAT:
+                        src = rgb
+                    else:
+                        iw0 = 1.0 / float(clip[i0, 3])
+                        iw1 = 1.0 / float(clip[i1, 3])
+                        iw2 = 1.0 / float(clip[i2, 3])
+                        den = l0 * iw0 + l1 * iw1 + l2 * iw2
+                        src = (
+                            l0 * iw0 * vlit[i0].astype(np.float64)
+                            + l1 * iw1 * vlit[i1].astype(np.float64)
+                            + l2 * iw2 * vlit[i2].astype(np.float64)
+                        ) / den
+                    color[iy, ix] = color[iy, ix] * (1.0 - a) + src * a
 
     u8 = np.clip(color, 0.0, 1.0)
     u8 = np.floor(u8 * 255.0 + 0.5).astype(np.uint8)
