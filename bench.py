@@ -225,8 +225,15 @@ def main() -> None:
     # running: it finishes the compile and warms the persistent cache, and
     # killing it mid-compile would wedge the compile service (CLAUDE.md).
     _STATE["phase"] = "measure"
-    out_path = f"/tmp/xr_bench_result_{os.getpid()}.json"
-    child_log = f"/tmp/xr_bench_child_{os.getpid()}.log"
+    # unique per RUN (pid alone can recycle onto an orphaned child's stale
+    # result file — a detached child from a deadline_exceeded run writes
+    # its JSON after the parent exits)
+    tag = f"{os.getpid()}_{int(_T0 * 1000) & 0xFFFFFFFF}"
+    out_path = f"/tmp/xr_bench_result_{tag}.json"
+    child_log = f"/tmp/xr_bench_child_{tag}.log"
+    for p in (out_path, out_path + ".tmp"):
+        if os.path.exists(p):
+            os.unlink(p)
     with open(child_log, "wb") as lf:
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--measure", out_path],

@@ -190,3 +190,17 @@ def test_split_and_recompute_axes_identical():
     )
     of0 = render_frame(scene, cam, p.config)
     assert (of.color == of0.color).all()
+
+
+def test_split_row_gather_oversplit():
+    """split > needed slices (an empty trailing row range) must not crash
+    at trace time and must stay exact (code-review r4 finding)."""
+    import jax.numpy as jnp
+
+    from xr.core.shade_math import split_row_gather
+
+    t = np.arange(15, dtype=np.float32).reshape(5, 3)
+    idx = np.asarray([0, 4, 2, 3, 1, 4])
+    for split in (2, 3, 4, 9):
+        out = split_row_gather(jnp.asarray(t), jnp.asarray(idx), split, jnp)
+        assert (np.asarray(out) == t[idx]).all(), split

@@ -35,11 +35,13 @@ def split_row_gather(table, idx, split: int, xp=np):
     n2 = -(-n // split)
     parts = []
     for i in range(split):
+        if i * n2 >= n:
+            break  # over-split of a small table: no rows left to slice
         sl = table[i * n2 : min((i + 1) * n2, n)]
         j = xp.clip(idx - i * n2, 0, sl.shape[0] - 1)
         parts.append(sl[j])
     out = parts[-1]
-    for i in range(split - 2, -1, -1):
+    for i in range(len(parts) - 2, -1, -1):
         keep = (idx < (i + 1) * n2)[..., None]
         out = xp.where(keep, parts[i], out)
     return out

@@ -270,6 +270,10 @@ class RenderConfig:
         assert not (self.record_split > 1 and self.deferred_fetch != "wide"), (
             "record_split applies to the wide record fetch only"
         )
+        assert self.tex_split >= 1
+        assert not (self.tex_split > 1 and self.tex_fetch != "wide"), (
+            "tex_split applies to the wide quad fetch only"
+        )
         if self.record_pack == "value":
             # value-packed record coords must be exact in f32: the geometry
             # stage clamps |coord| <= (8*max(W,H)+64)*sub (project_snap)

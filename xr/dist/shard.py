@@ -152,9 +152,10 @@ def render_step_sharded(
             )
             if config.blend:
                 # per-band composite over the shaded band: every band walks
-                # the full (replicated) transparent record list in record-id
-                # order against its own pixel rows, so composite order — the
-                # blend semantics — is identical to the single-device pass
+                # the full (replicated) transparent record list in SOURCE-
+                # triangle order (TriBuf.src_id) against its own pixel
+                # rows, so composite order — the blend semantics — is
+                # identical to the single-device pass
                 from xr.shading.blend import composite_transparent
 
                 rgb, blend_of = composite_transparent(

@@ -156,8 +156,12 @@ class BinResult(NamedTuple):
     dropped: jnp.ndarray  # () i32 — entries lost to capacity overflow
     # sorted-segment view (scatter-free streaming consumers): sid holds all
     # (tile, id) pair ids sorted by (tile, id); tile t's segment is
-    # sid[starts[t] : starts[t] + raw_counts[t]]
-    sid: jnp.ndarray = None  # (4C,) i32
+    # sid[starts[t] : starts[t] + raw_counts[t]]. Length depends on the
+    # emission scheme (bin_pairs=4: 4C + medium keys; bin_pairs=2:
+    # 2C + 2*bin_quad_capacity + medium keys) — the INVARIANT consumers
+    # may rely on is that it is always EVEN (pallas_stream reads it
+    # through a paired (len/2, 2) view)
+    sid: jnp.ndarray = None  # (even length,) i32
     starts: jnp.ndarray = None  # (ntiles,) i32
     raw_counts: jnp.ndarray = None  # (ntiles,) i32 (uncapped)
     large_dropped: jnp.ndarray = None  # () i32
@@ -194,6 +198,24 @@ def _tile_ranges(tri: TriBuf, config: RenderConfig, y_offset):
     return tx0, tx1, ty0, ty1, valid
 
 
+def span_classes(tx0, tx1, ty0, ty1, valid, config: RenderConfig):
+    """The bin-class predicates, THE definition shared by bin_triangles and
+    diagnostics (__graft_entry__._bin_class_counts): `small` spans <= 2x2
+    tiles (unmasked — and with valid for the emitted class), `med_ok` is
+    the medium-ELIGIBLE set (spans < medium_span in both axes; the actual
+    medium class is its first medium_capacity members in id order)."""
+    small = (tx1 <= tx0 + 1) & (ty1 <= ty0 + 1)
+    if config.medium_capacity > 0:
+        med_ok = (
+            valid & ~small
+            & (tx1 - tx0 < config.medium_span)
+            & (ty1 - ty0 < config.medium_span)
+        )
+    else:
+        med_ok = jnp.zeros_like(valid)
+    return small, med_ok
+
+
 def bin_triangles(
     tri: TriBuf, config: RenderConfig, y_offset=0
 ) -> BinResult:
@@ -205,7 +227,7 @@ def bin_triangles(
     C = tri.capacity
 
     tx0, tx1, ty0, ty1, valid = _tile_ranges(tri, config, y_offset)
-    small = (tx1 <= tx0 + 1) & (ty1 <= ty0 + 1)
+    small, med_ok = span_classes(tx0, tx1, ty0, ty1, valid, config)
     ids = jnp.arange(C, dtype=jnp.int32)
 
     idbits = max(1, int(C - 1).bit_length())
@@ -285,9 +307,6 @@ def bin_triangles(
     mcap = config.medium_capacity
     medium = jnp.zeros_like(valid)
     if mcap > 0:
-        med_ok = (
-            valid & ~small & (tx1 - tx0 < span) & (ty1 - ty0 < span)
-        )
         mid, _, mtotal = _sort_compact_ids(med_ok, mcap, jnp)
         mlive = jnp.arange(mcap) < jnp.minimum(mtotal, mcap)
         # tris selected into the medium class (first mcap in id order);
