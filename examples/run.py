@@ -37,12 +37,30 @@ def main():
     ap.add_argument("--oracle", action="store_true", help="use the CPU reference")
     ap.add_argument("--profile", action="store_true", help="jax profiler trace")
     ap.add_argument("--dt", type=float, default=1.0 / 30.0)
+    # fly-through resume + scene serialization (SURVEY.md §5.4): resume a
+    # run at frame k for debugging; snapshot/replace the preset's scene
+    ap.add_argument("--start-frame", type=int, default=0,
+                    help="resume the animation at frame k (t = k * dt)")
+    ap.add_argument("--save-scene", default="",
+                    help="serialize the scene to this .npz and continue")
+    ap.add_argument("--scene", default="",
+                    help="render a previously saved .npz scene instead of "
+                    "the preset's")
     args = ap.parse_args()
 
     from xr.scene.presets import ALL_PRESETS
     from xr.core.image import write_png
 
     p = ALL_PRESETS[args.preset]()
+    if args.scene:
+        from xr.core.serialize import load_scene
+
+        p = p._replace(scene=load_scene(args.scene))
+    if args.save_scene:
+        from xr.core.serialize import save_scene
+
+        save_scene(args.save_scene, p.scene)
+        print(json.dumps({"event": "scene_saved", "path": args.save_scene}))
     cfg = p.config
     if args.width and args.height:
         cfg = dataclasses.replace(cfg, width=args.width, height=args.height)
@@ -101,7 +119,7 @@ def main():
 
     # warmup/compile frame
     t_compile = time.perf_counter()
-    f = readback(step(0.0))
+    f = readback(step(args.dt * args.start_frame))
     print(
         json.dumps(
             {
@@ -137,7 +155,7 @@ def main():
     last = None
     pending_i = None  # index of the frame whose host copy is in flight
     for i in range(args.frames):
-        t = args.dt * i
+        t = args.dt * (args.start_frame + i)
         frame = step(t)
         if args.dump_every and i % args.dump_every == 0 and presenter:
             done = presenter(frame)
