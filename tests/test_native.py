@@ -150,3 +150,55 @@ def test_native_obj_malformed_face_terminates(tmp_path):
     assert r is not None
     # the bad token is dropped; the remaining 3 corners form one triangle
     assert r["indices"].shape == (1, 3)
+
+
+def test_mtl_dissolve_to_blend(tmp_path):
+    """MTL `d`/`Tr` dissolve maps to Material.alpha and composes with the
+    blend pipeline state: a loaded half-transparent pane TINTS (not
+    replaces) the opaque geometry behind it."""
+    import dataclasses
+
+    from xr.cpu_ref import render_frame
+    from xr.core.types import MODE_FLAT, Camera, RenderConfig
+    from xr.scene.objio import load_obj_scene, parse_mtl
+
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl solid\nKd 0.1 0.9 0.1\n"
+        "newmtl pane\nKd 0.9 0.1 0.1\nd 0.5\n"
+        "newmtl legacy\nKd 0 0 1\nTr 0.7\n"
+    )
+    m = parse_mtl(str(tmp_path / "scene.mtl"))
+    assert m["pane"]["d"] == 0.5
+    assert abs(m["legacy"]["d"] - 0.3) < 1e-9  # Tr = 1 - d
+
+    (tmp_path / "scene.obj").write_text(
+        "mtllib scene.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"   # back quad z=0
+        "v -1 -1 1\nv 1 -1 1\nv 1 1 1\nv -1 1 1\n"   # front pane z=1
+        "vn 0 0 1\n"
+        "usemtl solid\nf 1//1 2//1 3//1\nf 1//1 3//1 4//1\n"
+        "usemtl pane\nf 5//1 6//1 7//1\nf 5//1 7//1 8//1\n"
+    )
+    scene = load_obj_scene(str(tmp_path / "scene.obj"))
+    assert scene.materials.alpha is not None
+    np.testing.assert_allclose(np.asarray(scene.materials.alpha)[:2], [1.0, 0.5])
+
+    cam = Camera(
+        eye=np.asarray((0, 0, 4.0), np.float32),
+        target=np.zeros(3, np.float32),
+        up=np.asarray((0, 1.0, 0), np.float32),
+        fov_y=np.asarray(np.deg2rad(60.0), np.float32),
+        near=np.asarray(0.3, np.float32),
+        far=np.asarray(10.0, np.float32),
+    )
+    cfg = RenderConfig(width=48, height=48, mode=MODE_FLAT, blend=True)
+    blended = render_frame(scene, cam, cfg)
+    opaque = render_frame(
+        scene, cam, dataclasses.replace(cfg, blend=False)
+    )
+    # blended center pixel mixes green-behind-red; with blend off the pane
+    # rasterizes opaquely and shows pure pane color
+    cb = blended.color[24, 24].astype(int)
+    co = opaque.color[24, 24].astype(int)
+    assert (cb != co).any()
+    assert cb[1] > co[1] + 20, "green backing not visible through the pane"

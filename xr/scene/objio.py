@@ -166,6 +166,13 @@ def parse_mtl(path: str):
                 mats[cur]["Ks"] = tuple(float(x) for x in s.split()[1:4])
             elif s.startswith("Ns "):
                 mats[cur]["Ns"] = float(s.split()[1])
+            elif s.startswith("d "):
+                # dissolve = opacity; alpha < 1 joins the blended pass
+                # when RenderConfig.blend is set (xr/shading/blend.py)
+                mats[cur]["d"] = float(s.split()[1])
+            elif s.startswith("Tr ") and "d" not in mats[cur]:
+                # inverted-dissolve convention; `d` wins if both present
+                mats[cur]["d"] = 1.0 - float(s.split()[1])
             elif s.startswith("map_Kd"):
                 # map_Kd [-options ...] file; honor `-clamp on` (texture
                 # address mode, Material.tex_addr), skip other options
@@ -239,6 +246,7 @@ def load_obj_scene(
             "ks": float(np.mean(m.get("Ks", (0.0, 0.0, 0.0)))),
             "shininess": m.get("Ns", 32.0),
             "tex_id": -1,
+            "alpha": float(m.get("d", 1.0)),
         }
         tex = m.get("map_Kd")
         if tex:
