@@ -166,3 +166,37 @@ def test_bin_pairs2_bitexact():
         f2 = r2.readback(r2.step(scene, cam))
         assert (f2.color == f4.color).all(), f"quad_cap={quad_cap}"
         assert (f2.depth == f4.depth).all(), f"quad_cap={quad_cap}"
+
+
+def test_point_lights_device_parity():
+    """Vertex-lit point lighting (flat centroid / Gouraud vertex / textured
+    tint) is device == oracle across all three vertex-lit modes."""
+    from xr.core.types import MODE_TEXTURED, Lights
+    from xr.scene.presets import config3_terrain
+
+    rng = np.random.default_rng(77)
+    lights = Lights.make(
+        dir_dirs=[(-0.4, -0.7, -0.6)],
+        dir_colors=[(0.6, 0.55, 0.5)],
+        pt_pos=[(0.0, 1.0, 1.0), (-1.0, -0.5, 2.0)],
+        pt_colors=[(1.5, 0.4, 0.4), (0.3, 0.4, 1.8)],
+        ambient=(0.1, 0.1, 0.1),
+    )
+    for mode in (MODE_FLAT, MODE_GOURAUD):
+        scene = random_scene(rng, 10).replace(lights=lights)
+        cam = fixed_camera()
+        cfg = RenderConfig(width=64, height=48, mode=mode)
+        of = render_frame(scene, cam, cfg)
+        r = Renderer(scene, cfg)
+        df = r.readback(r.step(scene, cam))
+        _compare(of, df)
+
+    # textured: point-lit tint through the full texture pipeline
+    p = small_preset(config3_terrain(nx=24, nz=24), 96, 64, bin_capacity=4096)
+    scene = p.scene.replace(lights=lights)
+    cam, mm = p.animate(0.3, np)
+    scene = scene.replace(model_matrices=mm)
+    of = render_frame(scene, cam, p.config)
+    r = Renderer(scene, p.config)
+    df = r.readback(r.step(scene, cam))
+    _compare(of, df)

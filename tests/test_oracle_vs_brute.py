@@ -168,3 +168,31 @@ def test_oracle_blend_matches_brute(mode):
         np.testing.assert_allclose(frame.depth, b_depth, atol=1e-5)
         diff = np.abs(frame.color.astype(int) - b_color.astype(int))
         assert diff.max() <= 2, f"blend diff {diff.max()} (trial {trial})"
+
+
+@pytest.mark.parametrize("mode", [MODE_FLAT, MODE_GOURAUD])
+def test_point_lights_vertex_lit(mode):
+    """Point lights now contribute to the vertex-lit modes (flat uses the
+    face centroid, Gouraud the vertex position): oracle matches the brute
+    validator, and the light visibly falls off with distance."""
+    rng = np.random.default_rng(1234 + mode)
+    scene, camera = _random_scene(rng, num_tris=8, mode=mode)
+    scene = scene.replace(
+        lights=Lights.make(
+            pt_pos=[(0.0, 0.0, 1.5)],
+            pt_colors=[(2.0, 2.0, 2.0)],
+            ambient=(0.05, 0.05, 0.05),
+        )
+    )
+    config = RenderConfig(width=48, height=40, mode=mode)
+    frame = oracle.render_frame(scene, camera, config)
+    b_color, b_depth = brute.render(scene, camera, config)
+    np.testing.assert_allclose(frame.depth, b_depth, atol=1e-5)
+    diff = np.abs(frame.color.astype(int) - b_color.astype(int))
+    assert diff.max() <= 2, f"point-light diff {diff.max()}"
+    # the light actually contributes (not ambient-only)
+    amb = oracle.render_frame(
+        scene.replace(lights=Lights.make(ambient=(0.05, 0.05, 0.05))),
+        camera, config,
+    )
+    assert (frame.color.astype(int) - amb.color.astype(int)).max() > 30

@@ -53,11 +53,17 @@ def lambert(normal, light_dir, xp=np):
     return xp.maximum(-xp.sum(normal * light_dir, axis=-1), 0.0)
 
 
-def shade_vertex_lit(normal, base_color, kd, lights, xp=np):
-    """Per-vertex Gouraud color: ambient + sum of directional diffuse.
+def shade_vertex_lit(normal, base_color, kd, lights, xp=np, world_pos=None):
+    """Per-vertex Gouraud color: ambient + directional diffuse + (when
+    `world_pos` is given) attenuated point-light diffuse — the classic
+    vertex-lighting model; point lights use the same 1/(1 + 0.05 d^2)
+    falloff as shade_phong. With no point lights in the scene the output
+    is bit-identical to the directional-only path (the term is not
+    traced at all).
 
-    normal (N,3), base_color (N,3), kd (N,), lights: Lights pytree.
-    Returns (N,3). Used for MODE_GOURAUD and the lit tint of MODE_TEXTURED.
+    normal (N,3), base_color (N,3), kd (N,), lights: Lights pytree,
+    world_pos optional (N,3). Returns (N,3). Used for MODE_GOURAUD and
+    the lit tint of MODE_TEXTURED.
     """
     col = lights.ambient[None, :] * base_color
     ld = lights.dir_dirs  # (L,3)
@@ -65,13 +71,30 @@ def shade_vertex_lit(normal, base_color, kd, lights, xp=np):
         # (N,L) diffuse factors
         nl = xp.maximum(-(normal @ ld.T), 0.0)
         col = col + kd[:, None] * base_color * (nl @ lights.dir_colors)
+    if world_pos is not None and lights.pt_pos.shape[0]:
+        for i in range(lights.pt_pos.shape[0]):
+            l_vec = lights.pt_pos[i] - world_pos  # (N,3) toward the light
+            d2 = xp.sum(l_vec * l_vec, axis=-1)
+            l = l_vec / xp.maximum(
+                xp.sqrt(xp.sum(l_vec * l_vec, axis=-1, keepdims=True)), 1e-12
+            )
+            ndl = xp.maximum(xp.sum(normal * l, axis=-1), 0.0)
+            att = 1.0 / (1.0 + 0.05 * d2)
+            col = col + (
+                kd[:, None] * base_color * (ndl * att)[:, None]
+            ) * lights.pt_colors[i]
     return col.astype(xp.float32)
 
 
-def shade_flat_face(face_normal, base_color, kd, lights, xp=np):
+def shade_flat_face(face_normal, base_color, kd, lights, xp=np, centroid=None):
     """Per-face flat color (config 1, BASELINE.json:7): same lighting model
-    as Gouraud but evaluated once per triangle with the geometric normal."""
-    return shade_vertex_lit(face_normal, base_color, kd, lights, xp)
+    as Gouraud but evaluated once per triangle with the geometric normal
+    (point lights, when present, use the face CENTROID as the surface
+    position — pass the identical centroid expression from every caller
+    so oracle/device stay bit-equal)."""
+    return shade_vertex_lit(
+        face_normal, base_color, kd, lights, xp, world_pos=centroid
+    )
 
 
 def shade_phong(

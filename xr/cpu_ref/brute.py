@@ -77,6 +77,9 @@ def render(scene: Scene, camera, config: RenderConfig):
             scene.materials.kd[vert_mat],
             scene.lights,
             np,
+            world_pos=(
+                world[:, :3] if scene.lights.pt_pos.shape[0] else None
+            ),
         )
 
     alpha_tab = getattr(scene.materials, "alpha", None)
@@ -125,12 +128,18 @@ def render(scene: Scene, camera, config: RenderConfig):
             fn = np.cross(e1w, e2w)
             fn = fn / max(np.linalg.norm(fn), 1e-20)
             mid = int(mesh.material_id[t])
+            cen = (
+                (
+                    (world[oi0, :3] + world[oi1, :3]) + world[oi2, :3]
+                ) * np.float32(1.0 / 3.0)
+            )[None, :] if scene.lights.pt_pos.shape[0] else None
             rgb = sm.shade_flat_face(
                 fn[None, :].astype(np.float32),
                 scene.materials.base_color[mid][None, :],
                 scene.materials.kd[mid][None],
                 scene.lights,
                 np,
+                centroid=cen,
             )[0]
         half = sub // 2
         for iy in range(H):
@@ -216,12 +225,18 @@ def render(scene: Scene, camera, config: RenderConfig):
                 fn = np.cross(e1w, e2w)
                 fn = fn / max(np.linalg.norm(fn), 1e-20)
                 mid = int(mesh.material_id[t])
+                cen = (
+                    (
+                        (world[oi0, :3] + world[oi1, :3]) + world[oi2, :3]
+                    ) * np.float32(1.0 / 3.0)
+                )[None, :] if scene.lights.pt_pos.shape[0] else None
                 rgb = sm.shade_flat_face(
                     fn[None, :].astype(np.float32),
                     scene.materials.base_color[mid][None, :],
                     scene.materials.kd[mid][None],
                     scene.lights,
                     np,
+                    centroid=cen,
                 )[0]
             half = sub // 2
             for iy in range(H):

@@ -252,6 +252,9 @@ def _vertex_stage(scene: Scene, view, proj, config: RenderConfig, xp=np):
     T = mesh.num_triangles
     face_rgb = xp.zeros((T, 3), xp.float32)
 
+    # point lights (when present) need surface positions in the vertex-lit
+    # modes; None when absent so the directional-only trace is unchanged
+    has_pt = scene.lights.pt_pos.shape[0] > 0
     mat = scene.materials
     if mode == MODE_FLAT:
         i0, i1, i2 = mesh.indices[:, 0], mesh.indices[:, 1], mesh.indices[:, 2]
@@ -260,17 +263,30 @@ def _vertex_stage(scene: Scene, view, proj, config: RenderConfig, xp=np):
         fn = m3.normalize(m3.cross(e1, e2, xp), xp)
         base = mat.base_color[mesh.material_id]
         kd = mat.kd[mesh.material_id]
-        face_rgb = sm.shade_flat_face(fn, base, kd, scene.lights, xp)
+        centroid = (
+            ((world[i0] + world[i1]) + world[i2]) * xp.float32(1.0 / 3.0)
+            if has_pt
+            else None
+        )
+        face_rgb = sm.shade_flat_face(
+            fn, base, kd, scene.lights, xp, centroid=centroid
+        )
     elif mode == MODE_GOURAUD:
         vm = _vert_mat(mesh, xp)
         base = mat.base_color[vm]
         kd = mat.kd[vm]
-        attrs = sm.shade_vertex_lit(n_world, base, kd, scene.lights, xp)
+        attrs = sm.shade_vertex_lit(
+            n_world, base, kd, scene.lights, xp,
+            world_pos=world if has_pt else None,
+        )
     elif mode == MODE_TEXTURED:
         vm = _vert_mat(mesh, xp)
         base = mat.base_color[vm]
         kd = mat.kd[vm]
-        lit = sm.shade_vertex_lit(n_world, base, kd, scene.lights, xp)
+        lit = sm.shade_vertex_lit(
+            n_world, base, kd, scene.lights, xp,
+            world_pos=world if has_pt else None,
+        )
         attrs = xp.concatenate([mesh.uvs, lit], axis=1).astype(xp.float32)
     elif mode == MODE_PHONG:
         attrs = xp.concatenate([world, n_world, mesh.uvs], axis=1).astype(xp.float32)
