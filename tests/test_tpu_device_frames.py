@@ -55,3 +55,36 @@ def test_device_frame_matches_oracle(preset_fn):
         f"{p.name}: device color differs from oracle by {diff.max()} LSB "
         f"at {int((diff.max(axis=-1) > 1).sum())} pixels"
     )
+
+
+def test_device_fetch_axes_bitexact():
+    """The round-4 scale-regime axes (record_split, tex_split,
+    lod_fetch='recompute', bin_pairs=2) must be bit-identical to the
+    default program ON THE REAL CHIP — the CPU suite proves value
+    equality, but these axes exist to change XLA's lowering, so the
+    device is where they could diverge (e.g. a relayout through a
+    mangling op, ISSUES.md-class)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from xr.app.renderer import Renderer
+
+    p = small_preset(config3_terrain(), 480, 270)
+    scene_j = jax.tree_util.tree_map(jnp.asarray, p.scene)
+    cam_j, mm_j = p.animate(0.0, jnp)
+    s = scene_j.replace(model_matrices=mm_j)
+
+    r0 = Renderer(scene_j, p.config)
+    f0 = r0.readback(r0.step(s, cam_j))
+    cfg = dataclasses.replace(
+        p.config, record_split=2, tex_split=2, lod_fetch="recompute",
+        bin_pairs=2,
+    )
+    r1 = Renderer(scene_j, cfg)
+    f1 = r1.readback(r1.step(s, cam_j))
+    assert (f1.depth == f0.depth).all()
+    assert (f1.color == f0.color).all(), (
+        "fetch-axis program diverges from the default on device"
+    )
