@@ -178,8 +178,19 @@ def config4_phong() -> Preset:
     objs = [ground]
     tids = [0]
     rng = np.random.default_rng(11)
+    placed: list = []
     for i in range(8):
-        x, z = rng.uniform(-4.5, 4.5, 2)
+        # resample until objects don't interpenetrate: accidental
+        # intersections create z-fighting contours where the visibility
+        # winner depends on f32 rounding — device-vs-oracle parity is
+        # ill-defined there (ISSUES.md config4_blend 1-px episode). Max
+        # object footprint radius is ~0.71 (rotated unit cube), so a 2.0
+        # center distance guarantees clear separation.
+        while True:
+            x, z = rng.uniform(-4.5, 4.5, 2)
+            if all((x - qx) ** 2 + (z - qz) ** 2 >= 4.0 for qx, qz in placed):
+                break
+        placed.append((float(x), float(z)))
         if i % 2 == 0:
             s = proc.cube(1.0, mat=1 + (i % 3))
             m = m3.translation((x, 0.55, z), np) @ m3.rotation_y(
