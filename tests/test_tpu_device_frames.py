@@ -51,9 +51,26 @@ def test_device_frame_matches_oracle(preset_fn):
         "coverage mismatch on device"
     )
     diff = np.abs(df.color.astype(int) - np.asarray(of.color).astype(int))
-    assert diff.max() <= 1, (
-        f"{p.name}: device color differs from oracle by {diff.max()} LSB "
-        f"at {int((diff.max(axis=-1) > 1).sum())} pixels"
+
+    # The shadow-map test is a binary comparison on f32 inputs that
+    # legitimately differ between backends at ~1e-6; pixels the ORACLE
+    # declares within noise of a lit/shadowed flip are exempt from the
+    # strict check (and their count is bounded). Everything else —
+    # coverage, visibility, blending, all shading math — must hold 1 LSB.
+    # (The round-4 1-px/43-LSB episode: ISSUES.md.)
+    from xr.cpu_ref.margins import shadow_flip_risk
+
+    risk = shadow_flip_risk(scene.replace(model_matrices=mm), cam, p.config)
+    n_risk = int(risk.sum())
+    assert n_risk <= p.config.width * p.config.height // 1000, (
+        f"{p.name}: {n_risk} shadow-ambiguous pixels — scene is "
+        "ill-conditioned for parity testing, fix the preset"
+    )
+    strict = diff.max(axis=-1) * ~risk
+    assert strict.max() <= 1, (
+        f"{p.name}: device color differs from oracle by {strict.max()} LSB "
+        f"at {int((strict > 1).sum())} well-conditioned pixels "
+        f"({n_risk} shadow-ambiguous px were exempt)"
     )
 
 
