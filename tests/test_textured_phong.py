@@ -174,7 +174,9 @@ def test_split_and_recompute_axes_identical():
         ("record_split3", dict(record_split=3)),
         ("tex_split2", dict(tex_split=2)),
         ("lod_recompute", dict(lod_fetch="recompute")),
-        ("all", dict(record_split=2, tex_split=2, lod_fetch="recompute")),
+        ("mip_closed", dict(mip_math="closed")),
+        ("all", dict(record_split=2, tex_split=2, lod_fetch="recompute",
+                     mip_math="closed")),
     ):
         cfg = dataclasses.replace(p.config, **over)
         r = Renderer(scene, cfg)
@@ -186,10 +188,28 @@ def test_split_and_recompute_axes_identical():
     # gather; lod recompute runs the same expressions)
     of = render_frame(
         scene, cam,
-        dataclasses.replace(p.config, record_split=2, lod_fetch="recompute"),
+        dataclasses.replace(
+            p.config, record_split=2, lod_fetch="recompute",
+            mip_math="closed",
+        ),
     )
     of0 = render_frame(scene, cam, p.config)
     assert (of.color == of0.color).all()
+
+    # closed-form mip math is impossible for per-texture ragged chains —
+    # must fail loudly, never silently fall back (SURVEY.md §7.3.1)
+    import pytest
+
+    from xr.core.shade_math import sample_trilinear
+    from xr.scene.texture import build_ragged_pyramid, checkerboard
+
+    rag = build_ragged_pyramid([checkerboard(16), checkerboard(8)])
+    with pytest.raises(ValueError, match="mip_math"):
+        sample_trilinear(
+            rag, np.zeros(4, np.int32),
+            np.zeros(4, np.float32), np.zeros(4, np.float32),
+            np.zeros(4, np.float32), np, mip_math="closed",
+        )
 
 
 def test_split_row_gather_oversplit():

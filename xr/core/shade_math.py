@@ -189,7 +189,7 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, base_size, xp=np):
 
 
 def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
-                     addr=None, split: int = 1):
+                     addr=None, split: int = 1, mip_math: str = "table"):
     """Perspective-correct trilinear texture sample.
 
     pyramid: TexturePyramid; tex_id (...,) i32; u, v (...,) f32 (any range,
@@ -223,6 +223,12 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
 
     ragged = hasattr(pyramid, "base_size_per_tex")  # RaggedPyramid
     if ragged:
+        if mip_math == "closed":
+            raise ValueError(
+                "mip_math='closed' needs a uniform TexturePyramid (one "
+                "shared power-of-two chain); RaggedPyramid sizes/offsets "
+                "are per-texture data, not closed-form"
+            )
         ls_flat = xp.asarray(pyramid.level_size).reshape(-1)
         lo_flat = xp.asarray(pyramid.level_offset).reshape(-1)
 
@@ -231,6 +237,31 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
 
         def qbase(lk):
             return lo_flat[tex_id * L + lk]
+    elif mip_math == "closed":
+        # Closed-form mip sizes/offsets: the tiny static level tables lower
+        # to per-pixel compare/select chains (~1 ms each at 1080p); the
+        # same values fall out of exact (N,) integer VPU math instead.
+        #   s(l)      = base >> l          (power-of-two chain, no clamp)
+        #   offset(l) = sum_{j<l} (base>>j)^2 = 4*(base^2 - s^2) / 3
+        # The numerator is 4^(m-l)*(4^l - 1), always divisible by 3, so
+        # the floor division is exact — bit-identical to the table values.
+        base = pyramid.base_size
+        if (base >> (L - 1)) < 1:
+            raise ValueError(
+                "mip_math='closed' requires num_levels <= log2(base)+1 "
+                f"(base {base}, levels {L}: the 1x1 clamp breaks the "
+                "geometric offset form)"
+            )
+        P = pyramid.quads.shape[1]
+        base_i = xp.asarray(base, xp.int32)
+        b2 = xp.asarray(base * base, xp.int32)
+
+        def size_at(lk):
+            return base_i >> lk
+
+        def qbase(lk):
+            s = base_i >> lk
+            return tex_id * P + ((b2 - s * s) * 4) // 3
     else:
         base = pyramid.base_size
         sizes = xp.asarray([max(base >> k, 1) for k in range(L)], xp.int32)

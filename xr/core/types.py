@@ -204,6 +204,20 @@ class RenderConfig:
     # Values bit-identical; measure before enabling.
     tex_split: int = 1
 
+    # How per-pixel mip level sizes/offsets are produced in
+    # sample_trilinear (uniform TexturePyramid only). "table" (default):
+    # gathered from tiny static per-level arrays — XLA lowers these to
+    # compare/select chains over every pixel (~1 ms/frame each at 1080p,
+    # round-2 trace; the round-3 fix attempt folded them into the RECORD
+    # and lost to slice-reduce fusions). "closed": exact closed forms on
+    # the level index — size s = base >> l (power-of-two chain) and
+    # offset(l) = 4*(base^2 - s^2)/3 (geometric row sum, exactly
+    # divisible) — pure (N,) integer VPU ops, no per-pixel table reads.
+    # Bit-identical by construction; requires base >> (num_levels-1) >= 1
+    # and a uniform (non-ragged) pyramid, else it raises. Isolated
+    # round-4 A/B axis (the round-3 batch never measured it alone).
+    mip_math: str = "table"
+
     # How the integer record fields (xs, ys, mat_id) ride in the one f32
     # per-pixel record table (deferred pass). "value" (default): CONVERTED
     # to f32 — exact, since post-clip fixed-point coords are guard-band
@@ -274,6 +288,7 @@ class RenderConfig:
         assert not (self.tex_split > 1 and self.tex_fetch != "wide"), (
             "tex_split applies to the wide quad fetch only"
         )
+        assert self.mip_math in ("table", "closed")
         if self.record_pack == "value":
             # value-packed record coords must be exact in f32: the geometry
             # stage clamps |coord| <= (8*max(W,H)+64)*sub (project_snap)

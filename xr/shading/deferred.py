@@ -465,7 +465,7 @@ def _sample_texture(
         addr = scene.materials.tex_addr[mat_id]
     texc = sm.sample_trilinear(
         pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch, addr=addr,
-        split=config.tex_split,
+        split=config.tex_split, mip_math=config.mip_math,
     )
     return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
 
