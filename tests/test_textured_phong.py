@@ -175,8 +175,9 @@ def test_split_and_recompute_axes_identical():
         ("tex_split2", dict(tex_split=2)),
         ("lod_recompute", dict(lod_fetch="recompute")),
         ("mip_closed", dict(mip_math="closed")),
+        ("percorner", dict(corner_fetch="percorner")),
         ("all", dict(record_split=2, tex_split=2, lod_fetch="recompute",
-                     mip_math="closed")),
+                     mip_math="closed", corner_fetch="percorner")),
     ):
         cfg = dataclasses.replace(p.config, **over)
         r = Renderer(scene, cfg)

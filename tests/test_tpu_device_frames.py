@@ -97,7 +97,7 @@ def test_device_fetch_axes_bitexact():
     f0 = r0.readback(r0.step(s, cam_j))
     cfg = dataclasses.replace(
         p.config, record_split=2, tex_split=2, lod_fetch="recompute",
-        bin_pairs=2,
+        bin_pairs=2, mip_math="closed", corner_fetch="percorner",
     )
     r1 = Renderer(scene_j, cfg)
     f1 = r1.readback(r1.step(s, cam_j))

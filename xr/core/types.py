@@ -204,6 +204,21 @@ class RenderConfig:
     # Values bit-identical; measure before enabling.
     tex_split: int = 1
 
+    # How path-A corner data (clip position + attributes) is fetched from
+    # the vertex-stage outputs in geometry(). "pertri" (default): one
+    # (T,3) fancy-index producing a (T,3,4+A) array — XLA lowers it as a
+    # flat (3T,.) gather plus THREE 3-D layout copies reconciling the
+    # consumers' layouts (~1.4 ms of pure relayout at config3, round-4
+    # attribution of geometry.py's corner gather). "percorner": three
+    # (T, 4+A) row gathers from one packed [clip|attr] vertex table —
+    # every consumer is a contiguous column slice (the measured rewarded
+    # gather shape) and projection/snap/cull run on dense (T,) columns,
+    # stacking to (T,3) once at the end. Bit-identical by construction
+    # (identical per-element f32/int op order). The round-3 batch only
+    # measured a per-corner variant bundled with the losing record-fold;
+    # this isolates it for a round-4 device A/B.
+    corner_fetch: str = "pertri"
+
     # How per-pixel mip level sizes/offsets are produced in
     # sample_trilinear (uniform TexturePyramid only). "table" (default):
     # gathered from tiny static per-level arrays — XLA lowers these to
@@ -289,6 +304,7 @@ class RenderConfig:
             "tex_split applies to the wide quad fetch only"
         )
         assert self.mip_math in ("table", "closed")
+        assert self.corner_fetch in ("pertri", "percorner")
         if self.record_pack == "value":
             # value-packed record coords must be exact in f32: the geometry
             # stage clamps |coord| <= (8*max(W,H)+64)*sub (project_snap)

@@ -392,6 +392,79 @@ def _project_snap(fpos, fattr, config: RenderConfig, xp):
     return xs, ys, z, inv_w, attr_w, valid
 
 
+def _project_snap_cols(corners, A, config: RenderConfig, xp):
+    """Per-corner COLUMN variant of _project_snap (path A, (T,) leading
+    shape): identical per-element f32/int op order, but inputs are three
+    gathered (T, 4+A) corner rows (corner_fetch='percorner') and all math
+    runs on dense (T,) column slices — no (T,3,4) materialization, no 3-D
+    layout copies. Stacks to the (T,3)/(T,3,A) output shapes once at the
+    end. Bit-identical to _project_snap by construction (elementwise ops
+    commute with the vertex-axis permutation; min/max/selects are exact)."""
+    sub = config.subpixel
+    lim = float(8 * max(config.width, config.height) + 64)
+    xs_c, ys_c, z_c, iw_c, aw_c = [], [], [], [], []
+    for c in corners:
+        w = xp.maximum(c[:, 3], 1e-12)
+        inv_w = (1.0 / w).astype(xp.float32)
+        ndc_x = c[:, 0] * inv_w
+        ndc_y = c[:, 1] * inv_w
+        z_c.append((c[:, 2] * inv_w).astype(xp.float32))
+        sx = xp.clip((ndc_x * 0.5 + 0.5) * config.width, -lim, lim)
+        sy = xp.clip((0.5 - ndc_y * 0.5) * config.height, -lim, lim)
+        xs_c.append(fp.snap_to_fixed(sx, sub, xp))
+        ys_c.append(fp.snap_to_fixed(sy, sub, xp))
+        iw_c.append(inv_w)
+        if A:
+            aw_c.append((c[:, 4:] * inv_w[:, None]).astype(xp.float32))
+
+    # same int32 expression as fp.doubled_area on the stacked (T,3) arrays
+    area2 = (ys_c[1] - ys_c[0]) * (xs_c[2] - xs_c[0]) - (
+        xs_c[1] - xs_c[0]
+    ) * (ys_c[2] - ys_c[0])
+    if config.cull_backfaces:
+        orient_ok = area2 > 0
+        flip = xp.zeros(area2.shape, bool)
+    else:
+        orient_ok = area2 != 0
+        flip = area2 < 0
+
+    def swap12(cols, fm):
+        return [
+            cols[0],
+            xp.where(fm, cols[2], cols[1]),
+            xp.where(fm, cols[1], cols[2]),
+        ]
+
+    xs_c = swap12(xs_c, flip)
+    ys_c = swap12(ys_c, flip)
+    z_c = swap12(z_c, flip)
+    iw_c = swap12(iw_c, flip)
+    if A:
+        aw_c = swap12(aw_c, flip[:, None])
+
+    half = sub // 2
+    min_x = xp.minimum(xp.minimum(xs_c[0], xs_c[1]), xs_c[2])
+    max_x = xp.maximum(xp.maximum(xs_c[0], xs_c[1]), xs_c[2])
+    min_y = xp.minimum(xp.minimum(ys_c[0], ys_c[1]), ys_c[2])
+    max_y = xp.maximum(xp.maximum(ys_c[0], ys_c[1]), ys_c[2])
+    on_screen = (
+        (max_x >= half)
+        & (min_x <= (config.width - 1) * sub + half)
+        & (max_y >= half)
+        & (min_y <= (config.height - 1) * sub + half)
+    )
+    valid = orient_ok & on_screen
+    T = valid.shape[0]
+    return (
+        xp.stack(xs_c, axis=-1),
+        xp.stack(ys_c, axis=-1),
+        xp.stack(z_c, axis=-1),
+        xp.stack(iw_c, axis=-1),
+        xp.stack(aw_c, axis=1) if A else xp.zeros((T, 3, 0), xp.float32),
+        valid,
+    )
+
+
 def _sort_compact_ids(mask, n_out, xp):
     """Indices of True entries of `mask`, ascending, padded to n_out.
 
@@ -437,23 +510,49 @@ def geometry(
     C = capacity if capacity is not None else clip_capacity(T, config)
 
     clip, vattrs, face_rgb = _vertex_stage(scene, view, proj, config, xp)
-    tri_pos = clip[mesh.indices]  # (T,3,4)
-    tri_attr = (
-        vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
-    )
-
     planes = _plane_vectors(config.guard_band, xp)  # (6,4)
-    d = _plane_distances(tri_pos, planes, xp)  # (T,3,6)
-    inside_all = xp.all(d >= 0.0, axis=(1, 2))
-    outside_any = xp.any(xp.all(d < 0.0, axis=1), axis=1)
+
+    percorner = config.corner_fetch == "percorner"
+    if percorner:
+        # three (T, 4+A) row gathers from ONE packed [clip|attr] vertex
+        # table; every consumer slices contiguous columns and the per-
+        # corner plane distances / projection run on dense (T,) vectors.
+        # Bit-identical to the pertri path (see RenderConfig.corner_fetch).
+        vtab = xp.concatenate([clip, vattrs], axis=1) if A else clip
+        corners = [vtab[mesh.indices[:, v]] for v in range(3)]
+        dv = [_plane_distances(c[:, :4], planes, xp) for c in corners]
+        inside_all = (
+            xp.all(dv[0] >= 0.0, axis=1)
+            & xp.all(dv[1] >= 0.0, axis=1)
+            & xp.all(dv[2] >= 0.0, axis=1)
+        )
+        outside_any = xp.any(
+            (dv[0] < 0.0) & (dv[1] < 0.0) & (dv[2] < 0.0), axis=1
+        )
+    else:
+        tri_pos = clip[mesh.indices]  # (T,3,4)
+        tri_attr = (
+            vattrs[mesh.indices] if A else xp.zeros((T, 3, 0), xp.float32)
+        )
+        d = _plane_distances(tri_pos, planes, xp)  # (T,3,6)
+        inside_all = xp.all(d >= 0.0, axis=(1, 2))
+        outside_any = xp.any(xp.all(d < 0.0, axis=1), axis=1)
     crossing = (~inside_all) & (~outside_any)
 
     # ---- path B: Sutherland-Hodgman on the (few) crossing triangles -----
     B = clip_budget(T, config)
     sel, _, crossing_total = _sort_compact_ids(crossing, B, xp)
     sel_valid = xp.arange(B) < xp.minimum(crossing_total, B)
-    cpos = tri_pos[sel]
-    cattr = tri_attr[sel]
+    if percorner:
+        cpos = xp.stack([c[sel][:, :4] for c in corners], axis=1)
+        cattr = (
+            xp.stack([c[sel][:, 4:] for c in corners], axis=1)
+            if A
+            else xp.zeros((B, 3, 0), xp.float32)
+        )
+    else:
+        cpos = tri_pos[sel]
+        cattr = tri_attr[sel]
     poly_pos, poly_attr, cnt = clip_triangles(
         cpos, cattr, config.guard_band, xp
     )
@@ -476,7 +575,14 @@ def geometry(
     )
 
     # ---- project/snap/cull both paths ------------------------------------
-    xsA, ysA, zA, iwA, awA, validA = _project_snap(tri_pos, tri_attr, config, xp)
+    if percorner:
+        xsA, ysA, zA, iwA, awA, validA = _project_snap_cols(
+            corners, A, config, xp
+        )
+    else:
+        xsA, ysA, zA, iwA, awA, validA = _project_snap(
+            tri_pos, tri_attr, config, xp
+        )
     validA = validA & inside_all
     xsB, ysB, zB, iwB, awB, validB = _project_snap(fposB, fattrB, config, xp)
     validB = validB & fan_valid
