@@ -137,7 +137,6 @@ def test_corner_fetch_percorner_bitexact():
     import jax.numpy as jnp
 
     from xr.pipeline.geometry import geometry
-    from xr.core import math3d as m3f
 
     rng = np.random.default_rng(31)
     scene = random_scene(rng, 40)

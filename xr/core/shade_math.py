@@ -252,6 +252,22 @@ def sample_trilinear(pyramid, tex_id, u, v, lod, xp=np, fetch="wide",
                 f"(base {base}, levels {L}: the 1x1 clamp breaks the "
                 "geometric offset form)"
             )
+        if base & (base - 1):
+            # a non-pow2 base makes s = base >> l diverge from the true
+            # level sizes (10 >> 1 == 5 but the table halves to 5 too —
+            # yet offsets diverge: verified 128 vs 125 at base=10, L=3);
+            # build_pyramid asserts pow2, but a hand-built pyramid must
+            # fail loudly here instead of sampling wrong texels (ADVICE r4)
+            raise ValueError(
+                f"mip_math='closed' requires a power-of-two base (got {base})"
+            )
+        if base > 16384:
+            # (b2 - s*s) * 4 is int32: base^2*4 overflows past 2^31 for
+            # base >= 32768, producing garbage offsets silently (ADVICE r4)
+            raise ValueError(
+                f"mip_math='closed' requires base <= 16384 (got {base}: "
+                "4*base^2 overflows int32)"
+            )
         P = pyramid.quads.shape[1]
         base_i = xp.asarray(base, xp.int32)
         b2 = xp.asarray(base * base, xp.int32)
