@@ -219,3 +219,182 @@ def test_blend_order_matters():
         scene.replace(materials=scene.materials.replace(alpha=al)), cam, p.config
     )
     assert (a.color != b.color).any()
+
+
+# ---------------------------------------------------------------------------
+# v2 (VERDICT r4 #5): textured + shadow-tested transparent fragments, and
+# program size bounded in blend_capacity (lax.scan over chunks).
+# ---------------------------------------------------------------------------
+
+from xr.core import math3d as m3
+from xr.core.types import MODE_PHONG
+from xr.scene import procedural as proc
+from xr.scene import texture as tx
+
+
+def _rich_blend_scene(pane_tex=0):
+    """Opaque ground + a tall opaque box west of a TEXTURED transparent
+    pane: the box's shadow falls east onto the pane, so the pane has both
+    lit and shadowed fragments, and its texture tints what shows through."""
+    ground = proc.grid_plane(1, 1, size=12.0, mat=0)
+    box = proc.transformed(
+        proc.cube(1.0, mat=1),
+        m3.translation((-2.2, 1.2, 0.0), np) @ m3.scaling((0.5, 2.4, 3.0), np),
+    )
+    pane = proc.transformed(
+        proc.grid_plane(1, 1, size=4.0, mat=2),
+        m3.translation((0.3, 1.0, 0.0), np),
+    )
+    mesh = proc.merge_meshes([ground, box, pane])
+    mats = Material.table(
+        [
+            {"base_color": (0.75, 0.75, 0.78), "ks": 0.0},
+            {"base_color": (0.8, 0.5, 0.3), "ks": 0.1},
+            {"base_color": (1.0, 1.0, 1.0), "ks": 0.0, "alpha": 0.5,
+             "tex_id": pane_tex},
+        ]
+    )
+    return Scene(
+        mesh=mesh,
+        materials=mats,
+        textures=tx.build_pyramid([tx.checkerboard(32, 4)]),
+        lights=Lights.make(
+            dir_dirs=[(1.0, -1.2, 0.15)],
+            dir_colors=[(0.95, 0.95, 0.9)],
+            ambient=(0.25, 0.25, 0.25),
+        ),
+        model_matrices=np.eye(4, dtype=np.float32)[None],
+    )
+
+
+def _rich_cam():
+    return Camera(
+        eye=np.asarray((2.5, 6.5, 6.5), np.float32),
+        target=np.asarray((0.3, 0.6, 0.0), np.float32),
+        up=np.asarray((0.0, 1.0, 0.0), np.float32),
+        fov_y=np.asarray(np.deg2rad(55.0), np.float32),
+        near=np.asarray(0.5, np.float32),
+        far=np.asarray(60.0, np.float32),
+    )
+
+
+_RICH_CFG = RenderConfig(
+    width=192, height=120, mode=MODE_PHONG, shadow_map_size=256,
+    blend=True, bin_capacity=4096, raster_path="binned",
+)
+
+
+def _pane_footprint(scene, cam, cfg):
+    """Screen footprint of the pane alone (rendered opaque), minus pixels
+    the box covers in view."""
+    mid = np.asarray(scene.mesh.material_id)
+    only = lambda keep: scene.mesh.replace(
+        indices=np.asarray(scene.mesh.indices)[keep],
+        material_id=mid[keep],
+    )
+    opaque = dataclasses.replace(cfg, blend=False, shadow_map_size=0)
+    s1 = scene.replace(
+        mesh=only(mid == 2),
+        materials=scene.materials.replace(
+            alpha=np.ones_like(np.asarray(scene.materials.alpha))
+        ),
+    )
+    pane_cov = render_frame(s1, cam, opaque).depth < 1.0
+    box_cov = render_frame(scene.replace(mesh=only(mid == 1)), cam, opaque).depth < 1.0
+    return pane_cov & ~box_cov
+
+
+def test_blend_textured_pane():
+    """Transparent fragments sample the material texture: a checkerboard
+    pane must show spatially varying tint vs the identical untextured
+    pane (VERDICT r4 #5 — the v1 scope gap)."""
+    scene = _rich_blend_scene(pane_tex=0)
+    plain = _rich_blend_scene(pane_tex=-1)
+    cam = _rich_cam()
+    ft = render_frame(scene, cam, _RICH_CFG)
+    fp = render_frame(plain, cam, _RICH_CFG)
+    assert int(ft.stats["blend_overflow"]) == 0
+    foot = _pane_footprint(scene, cam, _RICH_CFG)
+    assert foot.sum() > 300, "pane not visible in test framing"
+    d = np.abs(ft.color.astype(int) - fp.color.astype(int)).max(axis=-1)
+    frac = (d[foot] > 3).mean()
+    assert frac > 0.2, (
+        f"texture changes only {frac:.0%} of pane pixels — sampler inert"
+    )
+    # and it's a PATTERN, not a uniform tint: per-pixel deltas vary
+    assert d[foot].std() > 2.0
+
+
+def test_blend_shadowed_pane():
+    """Transparent fragments receive the opaque shadow map: pane pixels in
+    the box's shadow must be darker than the same pixels with the box
+    removed (lit), at pixels where the box itself is out of view."""
+    scene = _rich_blend_scene(pane_tex=-1)
+    cam = _rich_cam()
+    mid = np.asarray(scene.mesh.material_id)
+    keep = mid != 1
+    nobox = scene.replace(
+        mesh=scene.mesh.replace(
+            indices=np.asarray(scene.mesh.indices)[keep],
+            material_id=mid[keep],
+        )
+    )
+    f = render_frame(scene, cam, _RICH_CFG)
+    f0 = render_frame(nobox, cam, _RICH_CFG)
+    foot = _pane_footprint(scene, cam, _RICH_CFG)
+    lum = f.color.astype(int).sum(axis=-1)
+    lum0 = f0.color.astype(int).sum(axis=-1)
+    darker = (lum0 - lum) > 30
+    n = (darker & foot).sum()
+    assert n > 100, (
+        f"only {n} pane pixels darkened by the box shadow — transparent "
+        "fragments are not shadow-tested"
+    )
+
+
+def test_blend_device_matches_oracle_rich():
+    """The scan/cond composite (jnp) must equal the numpy oracle <= 1 LSB
+    on the textured + shadowed pane scene."""
+    scene = _rich_blend_scene(pane_tex=0)
+    cam = _rich_cam()
+    of = render_frame(scene, cam, _RICH_CFG)
+    r = Renderer(scene, _RICH_CFG)
+    df = r.readback(r.step(scene, cam))
+    diff = np.abs(df.color.astype(int) - of.color.astype(int))
+    bad = (diff.max(axis=-1) > 1).sum()
+    assert bad <= df.color.shape[0] * df.color.shape[1] * 0.001, (
+        f"{bad} pixels differ >1 LSB (max {diff.max()})"
+    )
+
+
+def test_blend_program_size_flat_in_capacity():
+    """The composite is a lax.scan over chunks: its traced program must
+    NOT grow with blend_capacity (v1 unrolled cap/chunk copies of the
+    chunk body — minutes of XLA compile at capacity ~1024)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xr.pipeline.geometry import geometry
+    from xr.shading.blend import composite_transparent
+
+    scene = _rich_blend_scene(pane_tex=0)
+    scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
+    cam = _rich_cam()
+
+    sizes = {}
+    for cap in (64, 1024):
+        cfg = dataclasses.replace(_RICH_CFG, blend_capacity=cap)
+        view, proj = m3.camera_matrices(cam, cfg.width / cfg.height, jnp)
+        tri = geometry(scene_j, view, proj, cfg, xp=jnp)
+
+        def f(color, depth):
+            return composite_transparent(
+                color, depth, tri, scene_j, cfg, jnp.asarray(cam.eye), xp=jnp
+            )[0]
+
+        color = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        depth = jnp.ones((cfg.height, cfg.width), jnp.float32)
+        sizes[cap] = len(str(jax.make_jaxpr(f)(color, depth)))
+    assert sizes[1024] < sizes[64] * 1.3, (
+        f"composite program grows with blend_capacity: {sizes}"
+    )

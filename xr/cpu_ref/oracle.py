@@ -154,6 +154,7 @@ def render_frame(
         rgb, blend_of = blend.composite_transparent(
             rgb, depth, tri, scene, config,
             np.asarray(camera.eye, np.float32), xp=np,
+            shadow_depth=shadow_depth, light_viewproj=light_viewproj,
         )
         stats["blend_overflow"] = blend_of
     color = sm.resolve_u8(rgb, np)

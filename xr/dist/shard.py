@@ -161,6 +161,8 @@ def render_step_sharded(
                 rgb, blend_of = composite_transparent(
                     rgb, depth, tri, scene, band_cfg, camera.eye, xp=jnp,
                     y_offset=y_off,
+                    shadow_depth=shadow_depth,
+                    light_viewproj=light_viewproj,
                 )
             color = sm.resolve_u8(rgb, jnp)
 

@@ -18,11 +18,19 @@ the end of the record buffer but carry their parent triangle's src_id
 (ADVICE r3). Fan pieces of one source triangle never overlap on screen,
 so their relative order is immaterial.
 
+v2 (VERDICT r4 #5): the composite is a `lax.scan` over fixed-size record
+chunks — program size is bounded by blend_chunk, CONSTANT in
+blend_capacity (v1 unrolled a Python loop per chunk and per record, so
+hundreds of transparent tris meant minutes of XLA compile). Transparent
+fragments are now also TEXTURED (perspective-correct trilinear + analytic
+LOD, textured/phong modes) and SHADOW-TESTED (phong + shadow map) — the
+same sampling/shadow code the deferred pass uses, so a blend-state PSO
+carries the full shading model, not a vertex-lit subset. Texture sampling
+runs under a per-chunk runtime cond: scenes whose transparent materials
+are untextured trace the sampler but never execute it.
+
 Shared by the CPU oracle and the device pipeline (xp-generic, like the
 deferred pass) — blending semantics exist once (SURVEY.md §7.3.3).
-Transparent fragments are vertex-lit (flat/Gouraud/textured modes) or
-fully Phong-shaded (phong mode), but sample no textures and receive no
-shadow-map test — documented v1 scope.
 """
 
 from __future__ import annotations
@@ -93,17 +101,22 @@ def composite_transparent(
     eye,
     xp=np,
     y_offset: int = 0,
+    shadow_depth=None,
+    light_viewproj=None,
 ):
     """Composite transparent records over the shaded frame.
 
     color: (H, W, 3) f32 linear (post-background, pre-u8-resolve).
     depth: (H, W) f32 opaque depth (1.0 = background clear value).
+    shadow_depth/light_viewproj: the opaque pass's shadow map (phong mode)
+    — transparent fragments receive the same shadow test as opaque ones.
     Returns (color', overflow) — overflow counts transparent records beyond
     config.blend_capacity (loud, like every capacity in this framework).
     """
     H, W = depth.shape
     cap = config.blend_capacity
     ch = min(config.blend_chunk, cap)
+    nchunks = -(-cap // ch)
     alpha = material_alpha(scene, xp)
     tmask = transparent_mask(tri, scene, xp)
     ids, total = _src_ordered_ids(tri, tmask, cap, xp)
@@ -115,63 +128,84 @@ def composite_transparent(
     slot_valid = xp.arange(cap) < xp.minimum(total, cap)
     eye = xp.asarray(eye, xp.float32)
 
-    for c0 in range(0, cap, ch):
-        sl = ids[c0 : c0 + ch]  # (ch,) record indices, ascending src_id
-        ok = slot_valid[c0 : c0 + ch]
+    # chunk-major views, padded to nchunks * ch (padding slots are dead)
+    pad = nchunks * ch - cap
+    if pad:
+        ids = xp.concatenate([ids, xp.zeros((pad,), xp.int32)])
+        slot_valid = xp.concatenate(
+            [slot_valid, xp.zeros((pad,), bool)]
+        )
+    sl_all = ids.reshape(nchunks, ch)
+    ok_all = slot_valid.reshape(nchunks, ch)
 
-        def chunk(color, sl=sl, ok=ok):
-            xs = tri.xs[sl][:, None, None, :]  # (ch, 1, 1, 3)
-            ys = tri.ys[sl][:, None, None, :]
-            z = tri.z[sl][:, None, None, :]
-            # one coverage evaluation feeds BOTH the mask/depth and the
-            # barycentric interpolation (exactly rc.tri_fragment's math)
-            cov, (e0, e1, e2) = fp.coverage(xs, ys, px[None], py[None], xp)
-            zf = rc.fragment_depth(e0, e1, e2, z, xp)  # (ch, H, W)
-            # read-only depth test against the opaque buffer (strict <: a
-            # blended fragment exactly on an opaque surface is occluded)
-            mask = (
-                cov
-                & rc.depth_range_mask(zf, xp)
-                & ok[:, None, None]
-                & (zf < depth[None])
+    def chunk(color, sl, ok):
+        xs = tri.xs[sl][:, None, None, :]  # (ch, 1, 1, 3)
+        ys = tri.ys[sl][:, None, None, :]
+        z = tri.z[sl][:, None, None, :]
+        # one coverage evaluation feeds BOTH the mask/depth and the
+        # barycentric interpolation (exactly rc.tri_fragment's math)
+        cov, (e0, e1, e2) = fp.coverage(xs, ys, px[None], py[None], xp)
+        zf = rc.fragment_depth(e0, e1, e2, z, xp)  # (ch, H, W)
+        # read-only depth test against the opaque buffer (strict <: a
+        # blended fragment exactly on an opaque surface is occluded)
+        mask = (
+            cov
+            & rc.depth_range_mask(zf, xp)
+            & ok[:, None, None]
+            & (zf < depth[None])
+        )
+
+        frag = _fragment_colors(
+            tri, sl, scene, config, eye, e0, e1, e2, mask, xp,
+            shadow_depth=shadow_depth, light_viewproj=light_viewproj,
+        )
+        a = alpha[tri.mat_id[sl]]  # (ch,)
+
+        # back-to-front over: sequential WITHIN the chunk too (composite
+        # order is semantics; chunking only batches the fragment math).
+        # ch is small and static, so this unroll bounds program size.
+        for j in range(ch):
+            aj = a[j]
+            m = mask[j][..., None]
+            color = xp.where(
+                m,
+                (color * (1.0 - aj) + frag[j] * aj).astype(xp.float32),
+                color,
             )
+        return color
 
-            frag = _fragment_colors(
-                tri, sl, scene, config, eye, e0, e1, e2, xp
-            )
-            a = alpha[tri.mat_id[sl]]  # (ch,)
+    # capacity is static but the live transparent count is not: dead
+    # chunks are skipped at runtime (lax.cond executes one branch), so a
+    # scene with 4 transparent tris pays for 1 chunk, not cap/ch
+    if _is_np(xp):
+        for c in range(nchunks):
+            if bool(ok_all[c].any()):
+                color = chunk(color, sl_all[c], ok_all[c])
+    else:
+        import jax
 
-            # back-to-front over: sequential WITHIN the chunk too
-            # (composite order is semantics; chunking only batches the
-            # fragment math)
-            for j in range(sl.shape[0]):
-                aj = a[j]
-                m = mask[j][..., None]
-                color = xp.where(
-                    m,
-                    (color * (1.0 - aj) + frag[j] * aj).astype(xp.float32),
-                    color,
-                )
-            return color
-
-        # capacity is static but the live transparent count is not: skip
-        # whole dead chunks at runtime (lax.cond executes one branch), so
-        # a scene with 4 transparent tris pays for 1 chunk, not cap/ch
-        if _is_np(xp):
-            if bool(ok.any()):
-                color = chunk(color)
-        else:
-            import jax
-
+        def body(color, inp):
+            sl, ok = inp
             color = jax.lax.cond(
-                ok.any(), chunk, lambda c: c, color
+                ok.any(), lambda c: chunk(c, sl, ok), lambda c: c, color
             )
+            return color, None
+
+        color, _ = jax.lax.scan(body, color, (sl_all, ok_all))
     return color.astype(xp.float32), overflow
 
 
-def _fragment_colors(tri, sl, scene, config, eye, e0, e1, e2, xp):
-    """(ch, H, W, 3) linear colors of the chunk's fragments (see module
-    docstring for the per-mode shading scope)."""
+def _fragment_colors(
+    tri, sl, scene, config, eye, e0, e1, e2, mask, xp,
+    shadow_depth=None, light_viewproj=None,
+):
+    """(ch, H, W, 3) linear colors of the chunk's fragments: the deferred
+    pass's shading model (interpolation, trilinear texturing with analytic
+    LOD, Phong + shadow test) applied to the chunk's transparent records.
+
+    mask: (ch, H, W) final coverage — uncovered lanes' attrs are zeroed at
+    the source (the denominator underflow fix deferred.py applies at its
+    bg pixels; VERDICT r4 'mirror the fix')."""
     mode = config.mode
     ch = sl.shape[0]
     H, W = e0.shape[1:]
@@ -193,35 +227,114 @@ def _fragment_colors(tri, sl, scene, config, eye, e0, e1, e2, xp):
 
     denom = interp_col(iw)
     inv_denom = (1.0 / xp.maximum(denom, 1e-20)).astype(xp.float32)
+    # uncovered pixels read a record's plane far outside the triangle,
+    # where denom can underflow to the 1e-20 floor and blow attrs up to
+    # ~1e20 (f32 overflow in the squaring downstream). Their color is
+    # masked away either way; zero the attrs at the source so covered
+    # pixels are untouched and both backends agree (deferred.py's fix).
+    inv_denom = xp.where(mask, inv_denom, xp.float32(0.0))
 
     def attr(j):
         return interp_col(aw[:, :, j]) * inv_denom
 
     if mode == MODE_GOURAUD:
         return xp.stack([attr(0), attr(1), attr(2)], axis=-1).astype(xp.float32)
+
+    mid = tri.mat_id[sl]  # (ch,)
     if mode == MODE_TEXTURED:
-        # lit tint lives in attr slots 2..4; transparent surfaces sample
-        # no texture (v1 scope)
-        return xp.stack([attr(2), attr(3), attr(4)], axis=-1).astype(xp.float32)
+        # lit tint lives in attr slots 2..4; uv in 0..1
+        u, v = attr(0), attr(1)
+        lit = xp.stack([attr(2), attr(3), attr(4)], axis=-1).astype(xp.float32)
+        texc = _chunk_texture(
+            tri, sl, scene, config, u, v, 0, e0, e1, e2, denom, mid, mask, xp
+        )
+        return (texc * lit).astype(xp.float32)
 
     assert mode == MODE_PHONG
     world = xp.stack([attr(0), attr(1), attr(2)], axis=-1)
     normal = xp.stack([attr(3), attr(4), attr(5)], axis=-1)
     nrm = xp.sqrt(xp.sum(normal * normal, axis=-1, keepdims=True))
     normal = normal / xp.maximum(nrm, 1e-12)
+    u, v = attr(6), attr(7)
     mats = scene.materials
-    mid = tri.mat_id[sl]  # (ch,)
     base = mats.base_color[mid][:, None, None, :]
+    base = xp.broadcast_to(base, world.shape) * _chunk_texture(
+        tri, sl, scene, config, u, v, 6, e0, e1, e2, denom, mid, mask, xp
+    )
+    shadow = None
+    if shadow_depth is not None and light_viewproj is not None:
+        # same test as the opaque deferred pass; world is zeroed at
+        # uncovered lanes (inv_denom above), so the gather indices are
+        # benign there and the result is masked by the composite anyway
+        shadow = sm.shadow_test(
+            shadow_depth, world, light_viewproj, config.shadow_bias, xp
+        )
     return sm.shade_phong(
         world,
         normal,
         eye,
-        xp.broadcast_to(base, world.shape),
+        base,
         xp.broadcast_to(mats.ka[mid][:, None, None], world.shape[:-1]),
         xp.broadcast_to(mats.kd[mid][:, None, None], world.shape[:-1]),
         xp.broadcast_to(mats.ks[mid][:, None, None], world.shape[:-1]),
         xp.broadcast_to(mats.shininess[mid][:, None, None], world.shape[:-1]),
         scene.lights,
-        shadow_factor=None,
+        shadow_factor=shadow,
         xp=xp,
+    )
+
+
+def _chunk_texture(
+    tri, sl, scene, config, u, v, uv_slot, e0, e1, e2, denom, mid, mask, xp
+):
+    """(ch, H, W, 3) trilinear texture colors for a chunk's fragments —
+    the deferred pass's sampler (analytic per-record LOD terms, same
+    quotient-rule per-pixel derivatives), run under a RUNTIME cond: a
+    chunk with no live textured record returns white without executing a
+    single gather (so untextured transparent scenes pay nothing)."""
+    pyr = scene.textures
+    if pyr is None or pyr.num_levels == 0:
+        return xp.ones(u.shape + (3,), xp.float32)
+
+    tex_id = scene.materials.tex_id[mid]  # (ch,)
+    live_tex = mask.any(axis=(1, 2)) & (tex_id >= 0)
+
+    def sample():
+        from xr.shading.deferred import _lod_terms
+
+        lod6_c = _lod_terms(tri, uv_slot, config, xp)  # 6 x (C,)
+        lod6 = tuple(t[sl][:, None, None] for t in lod6_c)  # (ch,1,1)
+        area2 = (e0 + e1 + e2).astype(xp.float32)
+        D = denom * area2
+        invD = (1.0 / xp.where(D == 0.0, 1e-30, D)).astype(xp.float32)
+        dudx = (lod6[2] - u * lod6[0]) * invD
+        dudy = (lod6[3] - u * lod6[1]) * invD
+        dvdx = (lod6[4] - v * lod6[0]) * invD
+        dvdy = (lod6[5] - v * lod6[1]) * invD
+        has_tex = (tex_id >= 0)[:, None, None]
+        tid_safe = xp.where(has_tex, tex_id[:, None, None], 0)
+        if hasattr(pyr, "base_size_per_tex"):
+            base = pyr.base_size_per_tex[tid_safe].astype(xp.float32)
+        else:
+            base = pyr.base_size
+        lod = sm.lod_from_derivs(dudx, dvdx, dudy, dvdy, base, xp)
+        addr = None
+        if scene.materials.tex_addr is not None:
+            addr = scene.materials.tex_addr[mid][:, None, None]
+        texc = sm.sample_trilinear(
+            pyr, tid_safe, u, v, lod, xp, fetch=config.tex_fetch,
+            addr=addr, split=config.tex_split, mip_math=config.mip_math,
+        )
+        return xp.where(has_tex[..., None], texc, 1.0).astype(xp.float32)
+
+    if _is_np(xp):
+        if bool(live_tex.any()):
+            return sample()
+        return xp.ones(u.shape + (3,), xp.float32)
+    import jax
+
+    return jax.lax.cond(
+        live_tex.any(),
+        sample,
+        lambda: xp.ones(u.shape + (3,), xp.float32),
     )
