@@ -256,6 +256,17 @@ class RenderConfig:
     # than it saves on shallow ones (~+0.6 ms at config3 — PERF.md r3).
     z_earlyout: bool = False
 
+    # FRONT-TO-BACK bin ordering (VERDICT r4 #1): sort each tile's bin
+    # segment by quantized triangle z_min (ascending) instead of by id.
+    # The (z, id) lex-min resolve is order-independent, so images are
+    # bit-identical; what changes is z_earlyout's effectiveness — the
+    # z-buffer converges after the nearest few records and everything
+    # behind them is rejected by one scalar compare per record (the
+    # visibility kernel is scalar-bound, so rejected records are ~10x
+    # cheaper than rasterized ones). Costs a wider key-value bin sort.
+    # Pointless without z_earlyout; measure on device before defaulting.
+    bin_zorder: bool = False
+
     # Shadow mapping (MODE_PHONG only).
     shadow_map_size: int = 0  # 0 => no shadow pass
     shadow_bias: float = 2e-3

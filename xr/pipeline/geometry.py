@@ -73,6 +73,12 @@ class TriBuf(struct.PyTreeNode):
     valid: Any
     count: Any
     overflow: Any
+    # static SOURCE triangle count (0 = unknown): bounds live records at
+    # num_src + clip_budget*(MAX_FAN-1) even when the identity record
+    # layout makes capacity much larger — the streaming kernel sizes its
+    # block count from this bound instead of from capacity (which silently
+    # multiplied record-gather cost; VERDICT r4 #3 / PERF.md round 3)
+    num_src: int = struct.field(pytree_node=False, default=0)
 
     @property
     def capacity(self) -> int:
@@ -91,9 +97,9 @@ def clip_budget(num_tris: int, config: RenderConfig) -> int:
 
 def identity_layout(num_tris: int, config: RenderConfig, capacity: int) -> bool:
     """True when geometry() takes the identity record-layout branch
-    (capacity covers every possible output; no compaction gather). Stream-
-    kernel entry sizing must then come from stream_entry_cap, not from
-    capacity * stream_expand — see stream_blocks."""
+    (capacity covers every possible output; no compaction gather). The
+    stream kernel's entry sizing stays honest here because it bounds live
+    records by TriBuf.num_src — see stream_blocks."""
     return capacity >= num_tris + clip_budget(num_tris, config) * MAX_FAN
 
 
@@ -493,9 +499,14 @@ def geometry(
     config: RenderConfig,
     xp=np,
     capacity: Optional[int] = None,
+    stats_out: Optional[dict] = None,
 ) -> TriBuf:
     """Full geometry stage: vertex transform -> classify -> clip (crossing
     tris only) -> project -> snap -> cull -> compact. Static shapes.
+
+    stats_out: optional dict that receives exact stage-occupancy counts
+    (crossing_total, live_records, fan_records) — the measured inputs the
+    capacity auto-sizer derives budgets from (xr/app/autosize.py).
 
     Two-path design (SURVEY.md §7.3.2 + perf): triangles fully inside all 6
     clip planes (the overwhelming majority) skip Sutherland-Hodgman
@@ -607,21 +618,6 @@ def geometry(
     # (numpy) takes this same branch for identical semantics.
     BF_id = B * F
     if identity_layout(T, config, C):  # C >= T + B*F
-        if (
-            getattr(config, "backend", "") == "pallas_stream"
-            and getattr(config, "stream_entry_cap", 0) == 0
-        ):
-            import warnings
-
-            warnings.warn(
-                "identity record layout active (capacity "
-                f"{C} >= {T} tris + fans) with stream_entry_cap=0: "
-                "stream_blocks will size kernel blocks from capacity * "
-                "stream_expand, multiplying record-gather cost by "
-                "~capacity/live-tris. Set RenderConfig.stream_entry_cap "
-                "to the measured bin-entry count (see PERF.md).",
-                stacklevel=2,
-            )
         pad = C - T - BF_id
 
         def cat(a_field, b_field):
@@ -637,6 +633,10 @@ def geometry(
         validI = cat(validA, validB)
         totalA_i = xp.sum(validA.astype(xp.int32))
         totalB_i = xp.sum(validB.astype(xp.int32))
+        if stats_out is not None:
+            stats_out["crossing_total"] = crossing_total
+            stats_out["live_records"] = totalA_i + totalB_i
+            stats_out["fan_records"] = totalB_i
         return TriBuf(
             xs=cat(xsA, xsB),
             ys=cat(ysA, ysB),
@@ -653,6 +653,7 @@ def geometry(
             valid=validI,
             count=(totalA_i + totalB_i).astype(xp.int32),
             overflow=xp.maximum(crossing_total - B, 0).astype(xp.int32),
+            num_src=T,
         )
 
     # ---- order-preserving compaction into capacity C ----------------------
@@ -706,6 +707,10 @@ def geometry(
         xp.maximum(totalA + totalB - C, 0)
         + xp.maximum(crossing_total - B, 0)
     ).astype(xp.int32)
+    if stats_out is not None:
+        stats_out["crossing_total"] = crossing_total
+        stats_out["live_records"] = totalA + totalB
+        stats_out["fan_records"] = totalB
 
     return TriBuf(
         xs=ubits(merged[:, 0:3]),
@@ -719,4 +724,5 @@ def geometry(
         valid=valid,
         count=out_count,
         overflow=overflow,
+        num_src=T,
     )

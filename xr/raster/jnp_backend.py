@@ -167,8 +167,13 @@ class BinResult(NamedTuple):
     large_dropped: jnp.ndarray = None  # () i32
 
 
-def _tile_ranges(tri: TriBuf, config: RenderConfig, y_offset):
-    """Per-triangle tile bbox ranges, clamped to this band's tile grid."""
+def _tile_ranges(tri: TriBuf, config: RenderConfig, y_offset, xp=jnp):
+    """Per-triangle tile bbox ranges, clamped to this band's tile grid.
+
+    xp-generic: the device binning calls it with jnp; the host-side
+    capacity auto-sizer (xr/app/autosize.py) reuses THE SAME range rules
+    with numpy so measured counts can never diverge from the real bins."""
+    jnp = xp  # noqa: F841 — shadow so the body below is xp-generic
     nty, ntx = grid_dims(config)
     TH, TW = config.tile_h, config.tile_w
     sub = config.subpixel
@@ -198,7 +203,7 @@ def _tile_ranges(tri: TriBuf, config: RenderConfig, y_offset):
     return tx0, tx1, ty0, ty1, valid
 
 
-def span_classes(tx0, tx1, ty0, ty1, valid, config: RenderConfig):
+def span_classes(tx0, tx1, ty0, ty1, valid, config: RenderConfig, xp=jnp):
     """The bin-class predicates, THE definition shared by bin_triangles and
     diagnostics (__graft_entry__._bin_class_counts): `small` spans <= 2x2
     tiles (unmasked — and with valid for the emitted class), `med_ok` is
@@ -212,7 +217,7 @@ def span_classes(tx0, tx1, ty0, ty1, valid, config: RenderConfig):
             & (ty1 - ty0 < config.medium_span)
         )
     else:
-        med_ok = jnp.zeros_like(valid)
+        med_ok = xp.zeros_like(valid)
     return small, med_ok
 
 
@@ -235,6 +240,38 @@ def bin_triangles(
         f"sort key overflow: ntiles={ntiles}, capacity={C} — use larger "
         "tiles or fewer triangles per frame"
     )
+
+    # Front-to-back bin ordering (RenderConfig.bin_zorder): per-tile
+    # segments sort by quantized triangle z_min instead of by id, so the
+    # stream kernel's z early-out rejects occluded records after the
+    # nearest few fill the tile. Emission classes carry (tile, id) as
+    # SPLIT arrays and the sort is a stable two-operand key-value sort;
+    # the z key rides each emission row by broadcast (a post-hoc
+    # zq[id] gather over 4C keys would cost ~7 ns/element, PERF.md r2).
+    zorder = config.bin_zorder
+    if zorder:
+        zbits = min(16, 30 - int(ntiles).bit_length())
+        zq_c = jnp.clip(
+            tri.z.min(axis=1) * float(2**zbits - 1), 0.0, float(2**zbits - 1)
+        ).astype(jnp.int32)  # (C,) — garbage rows only ride sentinel slots
+    else:
+        zbits = 0
+        zq_c = None
+
+    def mk_keys(ptile, pid, zq=None):
+        """Flatten one emission class to sort keys: packed (tile, id) i32
+        (id order), or ((tile, zq) key, id payload) under bin_zorder."""
+        if not zorder:
+            return (((ptile << idbits) | pid).reshape(-1),)
+        return (
+            ((ptile << zbits) | zq).reshape(-1),
+            jnp.broadcast_to(pid, ptile.shape).reshape(-1),
+        )
+
+    def cat_keys(parts):
+        return tuple(
+            jnp.concatenate([p[i] for p in parts]) for i in range(len(parts[0]))
+        )
 
     # <= 4 (tile, id) pairs per small triangle; duplicates masked out
     sm = valid & small
@@ -265,7 +302,9 @@ def bin_triangles(
             ],
             axis=1,
         )  # (C, 2); sentinel tile == ntiles sorts last
-        keys = ((pair_tile << idbits) | ids[:, None]).reshape(-1)
+        key_parts = [
+            mk_keys(pair_tile, ids[:, None], zq_c[:, None] if zorder else None)
+        ]
 
         Q = config.bin_quad_capacity
         qid, _, qtotal = _sort_compact_ids(quad, Q, jnp)
@@ -273,12 +312,11 @@ def bin_triangles(
         qrank = jnp.cumsum(quad.astype(jnp.int32)) - 1
         in_quad = quad & (qrank < Q)  # the rest rides the large bucket
         qpair = jnp.stack([t10[qid], t11[qid]], axis=1)
-        qkeys = jnp.where(
-            qlive[:, None],
-            (qpair << idbits) | qid.astype(jnp.int32)[:, None],
-            ntiles << idbits,
-        ).reshape(-1)
-        keys = jnp.concatenate([keys, qkeys])
+        qtile = jnp.where(qlive[:, None], qpair, ntiles)
+        qpid = jnp.where(qlive, qid.astype(jnp.int32), 0)[:, None]
+        key_parts.append(
+            mk_keys(qtile, qpid, zq_c[qid][:, None] if zorder else None)
+        )
     else:
         in_quad = None
         m00 = sm
@@ -294,7 +332,9 @@ def bin_triangles(
             ],
             axis=1,
         )  # (C, 4); sentinel tile == ntiles sorts last
-        keys = ((pair_tile << idbits) | ids[:, None]).reshape(-1)
+        key_parts = [
+            mk_keys(pair_tile, ids[:, None], zq_c[:, None] if zorder else None)
+        ]
 
     # ---- hierarchical MEDIUM class (RenderConfig.medium_*): tris spanning
     # <= span x span tiles get REAL per-tile pairs instead of the global
@@ -323,23 +363,37 @@ def bin_triangles(
         mmask = (
             oky[:, :, None] & okx[:, None, :] & mlive[:, None, None]
         )
-        mkeys = jnp.where(
-            mmask,
-            (mtile << idbits) | mid[:, None, None],
-            (ntiles << idbits),
-        ).reshape(-1)
-        if mkeys.shape[0] % 2:
-            # keep the total key count EVEN: pallas_stream fetches sorted
-            # ids through a paired (2C, 2) view (sid.reshape(-1, 2)), which
-            # an odd medium_capacity * medium_span^2 would break
-            mkeys = jnp.concatenate(
-                [mkeys, jnp.full((1,), ntiles << idbits, mkeys.dtype)]
+        mtile = jnp.where(mmask, mtile, ntiles)
+        mpid = jnp.where(mmask, mid[:, None, None], 0)
+        key_parts.append(
+            mk_keys(
+                mtile, mpid, zq_c[mid][:, None, None] if zorder else None
             )
-        keys = jnp.concatenate([keys, mkeys])
+        )
 
-    skeys = jnp.sort(keys)
-    stile = skeys >> idbits
-    sid = (skeys & ((1 << idbits) - 1)).astype(jnp.int32)
+    merged = cat_keys(key_parts)
+    if merged[0].shape[0] % 2:
+        # keep the total key count EVEN: pallas_stream fetches sorted
+        # ids through a paired (2C, 2) view (sid.reshape(-1, 2)), which
+        # an odd medium_capacity * medium_span^2 would break
+        merged = tuple(
+            jnp.concatenate(
+                [m, jnp.full((1,), ntiles << (zbits if zorder else idbits) if i == 0 else 0, m.dtype)]
+            )
+            for i, m in enumerate(merged)
+        )
+
+    if zorder:
+        # stable key-value sort: primary key packs (tile, quantized z_min);
+        # the id rides as payload. Per-tile segments come out front-to-back
+        # (ties keep emission order). Candidate sets are unchanged, so the
+        # (z, id) lex-min resolve yields bit-identical images.
+        k0, sid = jax.lax.sort(merged, num_keys=1, is_stable=True)
+        stile = k0 >> zbits
+    else:
+        skeys = jnp.sort(merged[0])
+        stile = skeys >> idbits
+        sid = (skeys & ((1 << idbits) - 1)).astype(jnp.int32)
 
     tgt = jnp.arange(ntiles, dtype=jnp.int32)
     starts = jnp.searchsorted(stile, tgt, side="left").astype(jnp.int32)
@@ -348,7 +402,7 @@ def bin_triangles(
     counts = jnp.minimum(raw_counts, cap)
 
     col = jnp.arange(cap, dtype=jnp.int32)
-    gidx = jnp.clip(starts[:, None] + col[None, :], 0, skeys.shape[0] - 1)
+    gidx = jnp.clip(starts[:, None] + col[None, :], 0, sid.shape[0] - 1)
     lists = jnp.where(col[None, :] < counts[:, None], sid[gidx], LIST_EMPTY)
 
     # global large bucket (sorted ascending => resolve determinism for

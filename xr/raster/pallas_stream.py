@@ -49,17 +49,29 @@ BG = rc.BG_TRI_ID
 BLK_DEFAULT = 512  # see RenderConfig.stream_block
 
 
-def stream_blocks(config: RenderConfig, num_tris: int) -> int:
-    """Static block capacity: config.stream_expand entries per post-clip
-    triangle (<= 4 by construction, ~1.2 typical), plus one pad block per
-    tile — or the absolute config.stream_entry_cap override (identity
-    record layout keeps capacity >> live triangles). Record-gather cost
-    scales with this, so keep it honest — overflow is counted loudly."""
+def stream_blocks(config: RenderConfig, num_records: int, num_src: int = 0) -> int:
+    """Static block capacity: config.stream_expand entries per LIVE
+    post-clip triangle (<= 4 by construction, ~1.2 typical), plus one pad
+    block per tile — or the absolute config.stream_entry_cap override.
+    Live records never exceed num_src + clip_budget*(MAX_FAN-1), so when
+    the identity record layout makes num_records (the capacity) much
+    larger, sizing follows the source-count bound instead — the old
+    capacity-based sizing silently multiplied record-gather cost by
+    ~capacity/live (VERDICT r4 #3). Overflow stays loudly counted."""
     nty, ntx = grid_dims(config)
     BLK = getattr(config, "stream_block", BLK_DEFAULT)
     cap = getattr(config, "stream_entry_cap", 0)
-    est_entries = cap or (int(num_tris * config.stream_expand) + 64)
-    return est_entries // BLK + nty * ntx + 1
+    if not cap:
+        bound = num_records
+        if num_src:
+            from xr.pipeline.geometry import MAX_FAN, clip_budget
+
+            bound = min(
+                num_records,
+                num_src + clip_budget(num_src, config) * (MAX_FAN - 1),
+            )
+        cap = int(bound * config.stream_expand) + 64
+    return cap // BLK + nty * ntx + 1
 
 
 def _vis_kernel(
@@ -148,7 +160,7 @@ def visibility_binned(
     yo = jnp.asarray(y_offset, jnp.int32) * sub
     C = tri.capacity
     BLK = getattr(config, "stream_block", BLK_DEFAULT)
-    NB = stream_blocks(config, C)
+    NB = stream_blocks(config, C, tri.num_src)
 
     # ---- block-aligned segment layout (all gathers/searchsorted) ---------
     counts = b.raw_counts
