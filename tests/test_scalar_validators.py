@@ -125,3 +125,76 @@ def test_mips_engage_reduces_far_field_aliasing():
     assert var_mip < 0.25 * var_l0, (var_mip, var_l0)
     # and the mip'd average must sit near the checker mean
     assert abs(float(flat.mean()) - float(aliased.mean())) < 0.12
+
+
+# ---------------------------------------------------------------------------
+# In-jit sanitizer (RenderConfig.debug_checks; SURVEY.md §5.2(a), VERDICT
+# r4 #6): nf_* counters localize WHICH stage produced a non-finite value.
+# ---------------------------------------------------------------------------
+
+
+def _sanitizer_setup(**cfg_overrides):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from xr.scene.presets import config2_icospheres, small_preset
+
+    p = small_preset(
+        config2_icospheres(), 160, 96, bin_capacity=8192, **cfg_overrides
+    )
+    cfg = dataclasses.replace(p.config, debug_checks=True)
+    scene = jax.tree_util.tree_map(jnp.asarray, p.scene)
+    cam, mm = p.animate(0.0, jnp)
+    return scene.replace(model_matrices=mm), cam, cfg
+
+
+def test_debug_checks_clean_scene_passes():
+    from xr.app.renderer import Renderer
+
+    scene, cam, cfg = _sanitizer_setup()
+    r = Renderer(scene, cfg)
+    f = r.readback(r.step(scene, cam))  # strict: must not raise
+    nf = {k: int(v) for k, v in f.stats.items() if k.startswith("nf_")}
+    assert nf and all(v == 0 for v in nf.values()), nf
+
+
+def test_debug_checks_localizes_nan_vertex():
+    import jax.numpy as jnp
+    import pytest
+
+    from xr.app.renderer import Renderer
+
+    scene, cam, cfg = _sanitizer_setup()
+    pos = scene.mesh.positions
+    bad = scene.replace(
+        mesh=scene.mesh.replace(positions=pos.at[7, 1].set(jnp.nan))
+    )
+    r = Renderer(scene, cfg)
+    with pytest.raises(RuntimeError, match="input stage"):
+        r.readback(r.step(bad, cam))
+
+
+def test_debug_checks_localizes_shading_nan():
+    """A NaN injected at the pixel-shader stage must be attributed to
+    shading — with every earlier stage's counter zero (the localization
+    has resolution, not just a global trip-wire)."""
+    import numpy as np
+    import pytest
+
+    from xr.app.renderer import Renderer
+
+    scene, cam, cfg = _sanitizer_setup()
+
+    def nan_hook(color, scene, mat_id, xp):
+        return color + xp.float32(np.nan) * color
+
+    r = Renderer(scene, cfg, shade_hook=nan_hook)
+    f = r.step(scene, cam)
+    assert int(f.stats["nf_0_input"]) == 0
+    assert int(f.stats["nf_1_geometry"]) == 0
+    assert int(f.stats["nf_2_visibility"]) == 0
+    assert int(f.stats["nf_3_shading"]) > 0
+    with pytest.raises(RuntimeError, match="shading stage"):
+        r.readback(f)

@@ -40,6 +40,44 @@ from xr.raster import dispatch
 from xr.shading.deferred import shade_deferred
 
 
+def _nf_count(xp, *arrays, mask=None):
+    """Non-finite element count across arrays (the in-jit sanitizer's
+    per-stage probe; RenderConfig.debug_checks)."""
+    total = xp.int32(0)
+    for a in arrays:
+        if a is None or a.dtype.kind != "f":
+            continue
+        bad = ~xp.isfinite(a)
+        if mask is not None:
+            m = mask.reshape(mask.shape + (1,) * (bad.ndim - mask.ndim))
+            bad = bad & m
+        total = total + xp.sum(bad).astype(xp.int32)
+    return total
+
+
+def sanitize_stats(scene, tri, depth, rgb, xp=jnp):
+    """nf_* stage counters for RenderConfig.debug_checks (SURVEY.md
+    §5.2(a)): strict readback raises naming the FIRST stage whose counter
+    is nonzero, localizing where a NaN/Inf entered the frame. Stage order
+    is pipeline order; keys sort the same way (nf_0... prefixes)."""
+    out = {
+        "nf_0_input": _nf_count(
+            xp,
+            scene.mesh.positions,
+            scene.mesh.normals,
+            scene.mesh.uvs,
+            scene.model_matrices,
+        ),
+        "nf_1_geometry": _nf_count(
+            xp, tri.z, tri.inv_w, tri.attr_w, tri.face_rgb, mask=tri.valid
+        ),
+        "nf_2_visibility": _nf_count(xp, depth),
+    }
+    if rgb is not None:
+        out["nf_3_shading"] = _nf_count(xp, rgb)
+    return out
+
+
 def _depth_pass(scene, view, proj, config: RenderConfig, capacity: int):
     tri = geometry(scene, view, proj, config, xp=jnp, capacity=capacity)
     vis_tri = tri
@@ -134,6 +172,8 @@ def render_step(
     }
 
     if config.mode == MODE_DEPTH_ONLY:
+        if config.debug_checks:
+            stats.update(sanitize_stats(scene, tri, depth, None))
         color = jnp.zeros((config.height, config.width, 3), jnp.uint8)
         if fb_pool is not None:
             color = fb_pool[0].at[:, :, :].set(color)
@@ -160,6 +200,8 @@ def render_step(
             shadow_depth=shadow_depth, light_viewproj=light_viewproj,
         )
         stats["blend_overflow"] = blend_of
+    if config.debug_checks:
+        stats.update(sanitize_stats(scene, tri, depth, rgb))
     color = sm.resolve_u8(rgb, jnp)
     if fb_pool is not None:
         # full in-place overwrite of the donated buffers: XLA aliases the
@@ -187,6 +229,16 @@ def readback_frame(frame: Frame, strict: bool = True) -> Frame:
                 raise RuntimeError(
                     f"{k}={n}: triangles dropped — raise clip_expand/"
                     "bin_capacity in RenderConfig"
+                )
+        # in-jit sanitizer (RenderConfig.debug_checks): the nf_* keys are
+        # in pipeline order, so the first nonzero one names the stage
+        # that PRODUCED the non-finite values (SURVEY.md §5.2(a))
+        for k in sorted(out.stats):
+            if k.startswith("nf_") and int(out.stats[k]):
+                stage = k.split("_", 2)[2]
+                raise RuntimeError(
+                    f"debug_checks: {int(out.stats[k])} non-finite values "
+                    f"first appear in the {stage} stage ({k})"
                 )
     return out
 

@@ -282,6 +282,16 @@ class RenderConfig:
     blend_capacity: int = 128  # max transparent records (overflow is loud)
     blend_chunk: int = 8  # fragment-math batch size within the composite
 
+    # In-jit numeric sanitizer (SURVEY.md §5.2(a); VERDICT r4 #6): when
+    # True the frame program counts non-finite values INSIDE the traced
+    # step at every stage boundary (input arrays, post-clip records,
+    # resolved depth, shaded color) into nf_* stats, and strict readback
+    # raises naming the FIRST offending stage — host-side validation
+    # (xr/app/validate.py) can only say "the frame is bad", this says
+    # where it went bad. Off by default: the checks are fused reductions
+    # but still touch every array once.
+    debug_checks: bool = False
+
     # Multi-chip screen-band sharding (SURVEY.md §2.4/§5.8): number of
     # devices the framebuffer is sharded across (1 => single device).
     num_shards: int = 1
