@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--scene", default="",
                     help="render a previously saved .npz scene instead of "
                     "the preset's")
+    ap.add_argument("--autosize", action="store_true",
+                    help="size capacity knobs from a measured dry pass "
+                    "over this run's camera path (xr/app/autosize.py)")
     args = ap.parse_args()
 
     from xr.scene.presets import ALL_PRESETS
@@ -66,6 +69,23 @@ def main():
         cfg = dataclasses.replace(cfg, width=args.width, height=args.height)
     if args.shards:
         cfg = dataclasses.replace(cfg, num_shards=args.shards)
+    if args.autosize:
+        # measured capacity knobs from samples of THIS run's camera path
+        # (xr/app/autosize.py) — zero hand tuning for new scenes/paths
+        from xr.app.autosize import autosize_config
+
+        ts = [args.start_frame * args.dt + k * args.dt * args.frames / 4.0
+              for k in range(5)]
+        cams = [p.animate(t, np)[0] for t in ts]
+        cfg = autosize_config(p.scene, cams, cfg)
+        print(json.dumps({
+            "event": "autosized",
+            "bin_capacity": cfg.bin_capacity,
+            "clip_budget": cfg.clip_budget,
+            "clip_expand": round(cfg.clip_expand, 4),
+            "stream_entry_cap": cfg.stream_entry_cap,
+            "large_capacity": cfg.large_capacity,
+        }))
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -23,6 +23,7 @@ FACTORIES = {
     "config5": lambda: presets.config5_flythrough(nx=64, nz=64),
     "config6": lambda: presets.config6_asset(),
     "config6cap": lambda: presets.config6_capped(),
+    "config7": lambda: presets.config7_terrain_lod(n0=64),
 }
 
 

@@ -115,3 +115,78 @@ def test_device_fetch_axes_bitexact():
     assert (f1.color == f0.color).all(), (
         "fetch-axis program diverges from the default on device"
     )
+
+
+def test_device_config5_scale_regime_matches_oracle():
+    """config5's REAL regimes on the real chip (VERDICT r4 #4a): the full
+    1M-triangle mesh keeps the record table at ~431k rows — past the
+    ~300k-row layout-flip threshold where gathers run at element rate —
+    and the stream kernel runs with z_earlyout (+ bin_zorder if the
+    preset enables it). Only the framebuffer is reduced; the capacity,
+    table layout, and kernel paths are the benched ones. <= 1 LSB."""
+    import jax
+    import jax.numpy as jnp
+
+    from xr.app.renderer import Renderer
+    from xr.scene.presets import config5_flythrough
+
+    p = small_preset(config5_flythrough(), 480, 270, num_shards=1)
+    cam, mm = p.animate(1.0, np)
+    of = render_frame(p.scene.replace(model_matrices=mm), cam, p.config)
+
+    from xr.pipeline.geometry import clip_capacity
+
+    assert clip_capacity(p.scene.mesh.num_triangles, p.config) > 300_000, (
+        "test no longer crosses the element-rate regime"
+    )
+
+    scene_j = jax.tree_util.tree_map(jnp.asarray, p.scene)
+    cam_j, mm_j = p.animate(1.0, jnp)
+    r = Renderer(scene_j, p.config)
+    df = r.readback(r.step(scene_j.replace(model_matrices=mm_j), cam_j))
+
+    assert ((df.depth == 1.0) == (np.asarray(of.depth) == 1.0)).all()
+    diff = np.abs(df.color.astype(int) - np.asarray(of.color).astype(int))
+    assert diff.max() <= 1, (
+        f"config5 device color differs by {diff.max()} LSB at "
+        f"{int((diff.max(axis=-1) > 1).sum())} px"
+    )
+
+
+def test_device_config6_ragged_texaddr_matches_oracle():
+    """config6's regimes on the real chip (VERDICT r4 #4b): RaggedPyramid
+    (mixed native texture sizes) + per-material tex_addr (clamp vs wrap)
+    + Phong + shadow map, through the full loaded-asset pipeline. The
+    shadow ambiguity mask applies as in the preset parity test."""
+    import jax
+    import jax.numpy as jnp
+
+    from xr.app.renderer import Renderer
+    from xr.cpu_ref.margins import shadow_flip_risk
+    from xr.scene.presets import config6_asset
+
+    p = small_preset(config6_asset(), 480, 270)
+    scene = p.scene
+    assert hasattr(scene.textures, "base_size_per_tex"), "not ragged?"
+    assert scene.materials.tex_addr is not None, "no mixed tex_addr?"
+    cam, mm = p.animate(0.4, np)
+    of = render_frame(scene.replace(model_matrices=mm), cam, p.config)
+
+    scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
+    cam_j, mm_j = p.animate(0.4, jnp)
+    r = Renderer(scene_j, p.config)
+    df = r.readback(r.step(scene_j.replace(model_matrices=mm_j), cam_j))
+
+    assert ((df.depth == 1.0) == (np.asarray(of.depth) == 1.0)).all()
+    diff = np.abs(df.color.astype(int) - np.asarray(of.color).astype(int))
+    risk = shadow_flip_risk(scene.replace(model_matrices=mm), cam, p.config)
+    n_risk = int(risk.sum())
+    assert n_risk <= p.config.width * p.config.height // 1000
+    strict = diff.max(axis=-1) * ~risk
+    assert strict.max() <= 1, (
+        f"config6 device differs by {strict.max()} LSB at "
+        f"{int((strict > 1).sum())} well-conditioned px "
+        f"({n_risk} shadow-ambiguous exempt)"
+    )
+    if n_risk:
+        assert (diff.max(axis=-1) * risk).max() <= 80

@@ -451,6 +451,86 @@ def config6_capped() -> Preset:
     return Preset("config6cap", p.scene, p.animate, p.config)
 
 
+def config7_terrain_lod(n0: int = 160, rings: int = 3) -> Preset:
+    """Config 7: chunked heightmap-LOD terrain fly-through (VERDICT r4 #8;
+    SURVEY.md §2.1 — the reference's flagship app class is LOD terrain).
+    Clipmap-style rings double their cell size with distance at fixed
+    per-ring budgets (proc.terrain_lod: ~174k tris covering what uniform
+    config-3 density would need ~3.3M for), with skirts hiding ring
+    T-junctions. The camera flies low THROUGH the rings — near-plane
+    clipping, extreme cell-size mixes in one frame, and per-tile bin
+    churn are exactly the regimes the capacity knobs must survive, so
+    this preset sizes every knob with the MEASURED auto-sizer
+    (xr/app/autosize.py) instead of hand tuning."""
+    mesh = proc.with_vert_mat(proc.terrain_lod(n0=n0, rings=rings))
+    pyramid = tx.build_pyramid(
+        [tx.noise_texture(256, seed=21), tx.checkerboard(256, 8)]
+    )
+    scene = Scene(
+        mesh=mesh,
+        materials=Material.table(
+            [{"base_color": (0.95, 0.95, 0.9), "tex_id": 0}]
+        ),
+        textures=pyramid,
+        lights=Lights.make(
+            dir_dirs=[(-0.35, -0.8, -0.5)],
+            dir_colors=[(1.0, 0.97, 0.9)],
+            ambient=(0.22, 0.22, 0.24),
+        ),
+        model_matrices=_identity_mats(),
+    )
+
+    world = 30.0 * (2.0**rings)
+
+    def animate(t, xp=np):
+        tf = xp.asarray(t, xp.float32)
+        ang = tf * 0.08
+        r = 0.36 * world  # inside the outer ring, crossing ring boundaries
+        eye = xp.stack(
+            [
+                r * xp.cos(ang),
+                6.5 + 1.5 * xp.sin(tf * 0.23),
+                r * xp.sin(ang),
+            ]
+        )
+        tgt = xp.stack(
+            [
+                0.12 * world * xp.cos(ang + 1.1),
+                1.0 + 0.0 * tf,
+                0.12 * world * xp.sin(ang + 1.1),
+            ]
+        )
+        cam = Camera(
+            eye=eye.astype(xp.float32),
+            target=tgt.astype(xp.float32),
+            up=xp.asarray((0.0, 1.0, 0.0), xp.float32),
+            fov_y=xp.asarray(np.deg2rad(62.0), xp.float32),
+            near=xp.asarray(0.3, xp.float32),
+            far=xp.asarray(400.0, xp.float32),
+        )
+        return cam, xp.asarray(_identity_mats(), xp.float32)
+
+    base = RenderConfig(
+        width=1920,
+        height=1080,
+        mode=MODE_TEXTURED,
+        tile_h=32,
+        tile_w=128,
+        z_earlyout=True,
+    )
+    from xr.app.autosize import autosize_config
+
+    cams = [animate(t, np)[0] for t in (0.0, 13.0, 26.0, 39.0)]
+    cfg = autosize_config(scene, cams, base, margin=1.6)
+    return Preset("config7_terrain_lod", scene, animate, cfg)
+
+
+def small_preset(preset: Preset, width=160, height=120, **overrides) -> Preset:
+    """Shrink a preset's framebuffer for tests/goldens."""
+    cfg = dataclasses.replace(preset.config, width=width, height=height, **overrides)
+    return Preset(preset.name, preset.scene, preset.animate, cfg)
+
+
 ALL_PRESETS = {
     "config1": config1_cube,
     "config2": config2_icospheres,
@@ -460,10 +540,5 @@ ALL_PRESETS = {
     "config5": config5_flythrough,
     "config6": config6_asset,
     "config6cap": config6_capped,
+    "config7": config7_terrain_lod,
 }
-
-
-def small_preset(preset: Preset, width=160, height=120, **overrides) -> Preset:
-    """Shrink a preset's framebuffer for tests/goldens."""
-    cfg = dataclasses.replace(preset.config, width=width, height=height, **overrides)
-    return Preset(preset.name, preset.scene, preset.animate, cfg)

@@ -233,3 +233,171 @@ def with_vert_mat(mesh: Mesh) -> Mesh:
     from xr.pipeline.geometry import _vert_mat
 
     return mesh.replace(vert_mat=_vert_mat(mesh, np))
+
+
+def fbm_at(u, v, octaves: int, seed: int):
+    """The SAME fractal value noise as _fbm, evaluated at arbitrary
+    normalized coordinates u, v in [0, 1] (arrays). Lattices come from the
+    identical rng sequence, so fbm_at on a regular grid reproduces _fbm's
+    surface — which is what lets LOD rings of different resolutions sample
+    one continuous terrain (terrain_lod)."""
+    rng = np.random.default_rng(seed)
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    h = np.zeros(np.broadcast(u, v).shape, np.float64)
+    amp, freq = 1.0, 4
+    total = 0.0
+    for _ in range(octaves):
+        g = rng.standard_normal((freq + 1, freq + 1))
+        yi = v * freq
+        xi = u * freq
+        y0 = np.clip(yi.astype(int), 0, freq - 1)
+        x0 = np.clip(xi.astype(int), 0, freq - 1)
+        fy = yi - y0
+        fx = xi - x0
+        fy = fy * fy * (3 - 2 * fy)
+        fx = fx * fx * (3 - 2 * fx)
+        g00 = g[y0, x0]
+        g01 = g[y0, x0 + 1]
+        g10 = g[y0 + 1, x0]
+        g11 = g[y0 + 1, x0 + 1]
+        h += amp * (
+            (g00 * (1 - fx) + g01 * fx) * (1 - fy)
+            + (g10 * (1 - fx) + g11 * fx) * fy
+        )
+        total += amp
+        amp *= 0.5
+        freq *= 2
+    return h / total
+
+
+def terrain_lod(
+    n0: int = 160,
+    size0: float = 30.0,
+    rings: int = 3,
+    height: float = 5.0,
+    octaves: int = 6,
+    seed: int = 13,
+    mat: int = 0,
+) -> Mesh:
+    """Chunked heightmap-LOD terrain (SURVEY.md §2.1 "Sample apps": the
+    reference's flagship terrain experiments are LOD terrain renderers).
+
+    Geometry-clipmap layout with STATIC shapes (fixed per-ring budgets):
+    ring 0 is an n0 x n0 grid over [-size0/2, size0/2]^2; each outer ring
+    doubles the covered extent at the same n0 x n0 budget (so its cell
+    size doubles) and omits the cells its inner rings already cover. All
+    rings sample ONE continuous fbm surface (fbm_at), and every ring's
+    outer border grows a downward SKIRT strip that hides the T-junction
+    cracks where a fine ring's half-step edge vertices meet the coarser
+    ring — the classic clipmap treatment, chosen over edge stitching
+    because it keeps every ring an independent fixed-budget chunk.
+
+    Coverage economics (the reason LOD exists): rings=3 covers the
+    full-density-equivalent of a (8*n0)^2 grid — ~3.3M triangles at
+    n0=160 — in ~170k.
+    """
+    world = size0 * (2.0**rings)  # full extent of the outermost ring
+    pieces = []
+    for k in range(rings + 1):
+        ext = size0 * (2.0**k)
+        cell = ext / n0
+        xs = np.linspace(-ext / 2, ext / 2, n0 + 1)
+        gx, gz = np.meshgrid(xs, xs, indexing="xy")
+        # cell centers inside the previous ring's extent are skipped
+        cx = (gx[:-1, :-1] + gx[1:, 1:]) * 0.5
+        cz = (gz[:-1, :-1] + gz[1:, 1:]) * 0.5
+        if k == 0:
+            keep = np.ones_like(cx, bool)
+        else:
+            inner = size0 * (2.0 ** (k - 1)) / 2
+            keep = (np.abs(cx) > inner - 1e-6) | (np.abs(cz) > inner - 1e-6)
+
+        u = gx / world + 0.5
+        v = gz / world + 0.5
+        hgt = fbm_at(u, v, octaves, seed) * height
+        pos = np.stack([gx, hgt, gz], axis=-1).reshape(-1, 3)
+        # analytic-ish normals by central differences of the SHARED surface
+        eps = cell / world
+        hx = (
+            fbm_at(np.clip(u + eps, 0, 1), v, octaves, seed)
+            - fbm_at(np.clip(u - eps, 0, 1), v, octaves, seed)
+        ) * height / (2 * eps * world)
+        hz = (
+            fbm_at(u, np.clip(v + eps, 0, 1), octaves, seed)
+            - fbm_at(u, np.clip(v - eps, 0, 1), octaves, seed)
+        ) * height / (2 * eps * world)
+        nrm = np.stack([-hx, np.ones_like(hx), -hz], axis=-1)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+        uv = np.stack([u, v], axis=-1).reshape(-1, 2) * (world / 4.0)
+
+        idx = []
+        W = n0 + 1
+        jj, ii = np.where(keep)
+        for j, i in zip(jj, ii):
+            a = j * W + i
+            idx += [(a, a + W, a + 1), (a + 1, a + W, a + W + 1)]
+
+        # SKIRTS hide T-junction cracks: at a ring boundary the fine
+        # ring's half-step border vertex and the coarse ring's straight
+        # edge disagree by the fbm curvature, opening a sliver to either
+        # side. A downward strip from the FINE ring's outer border covers
+        # slivers where the fine vertex is above the coarse edge; one
+        # from the COARSE ring's inner-hole border covers the opposite
+        # sign. Both are emitted with both windings (cull_backfaces on).
+        pos_l = [pos]
+        nrm_l = [nrm.reshape(-1, 3)]
+        uv_l = [uv]
+
+        def skirt(edges):
+            border = np.unique(
+                np.concatenate([np.asarray(e, np.int64) for e in edges])
+            )
+            bpos = pos[border].copy()
+            bpos[:, 1] -= height  # drop below any surface point
+            base_n = sum(p.shape[0] for p in pos_l)
+            pos_l.append(bpos)
+            nrm_l.append(nrm.reshape(-1, 3)[border])
+            uv_l.append(uv[border])
+            remap = {int(b): base_n + t for t, b in enumerate(border)}
+            for edge in edges:
+                for t in range(len(edge) - 1):
+                    a, b = edge[t], edge[t + 1]
+                    da, db = remap[a], remap[b]
+                    idx.extend(
+                        [(a, b, da), (b, db, da), (a, da, b), (b, da, db)]
+                    )
+
+        e = n0
+        if k < rings:  # outer border (meets the next-coarser ring)
+            skirt(
+                [
+                    [0 * W + i for i in range(n0 + 1)],
+                    [e * W + i for i in range(n0 + 1)],
+                    [i * W + 0 for i in range(n0 + 1)],
+                    [i * W + e for i in range(n0 + 1)],
+                ]
+            )
+        if k > 0:  # inner-hole border (meets the next-finer ring)
+            assert n0 % 4 == 0, "terrain_lod needs n0 divisible by 4"
+            lo, hi = n0 // 4, 3 * n0 // 4
+            rng_ = range(lo, hi + 1)
+            skirt(
+                [
+                    [lo * W + i for i in rng_],
+                    [hi * W + i for i in rng_],
+                    [i * W + lo for i in rng_],
+                    [i * W + hi for i in rng_],
+                ]
+            )
+
+        m = _mesh(
+            np.concatenate(pos_l),
+            np.concatenate(nrm_l),
+            np.concatenate(uv_l),
+            idx,
+            mat,
+        )
+        pieces.append(m)
+    return merge_meshes(pieces)
