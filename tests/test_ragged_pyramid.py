@@ -113,29 +113,37 @@ def test_closed_form_level_math_matches_tables():
             assert int(rag.level_offset[t, k]) == off, (t, k)
 
 
-def test_identity_layout_stream_cap_warns():
-    """The identity record layout with an unset stream_entry_cap silently
-    multiplies stream-kernel block count by capacity/live-tris; geometry()
-    must warn loudly (ADVICE round 2)."""
+def test_identity_layout_stream_sizing_bounded_by_source():
+    """An identity-style record layout (huge clip_expand -> capacity far
+    above live triangles) must NOT multiply the stream kernel's block
+    count: stream_blocks bounds its sizing by the SOURCE triangle count
+    (TriBuf.num_src), so the old round-3 'stream_entry_cap=0' footgun —
+    and its warning — are gone by construction (VERDICT r4 #3)."""
     import dataclasses
-    import warnings
 
-    from xr.pipeline.geometry import geometry, clip_capacity
+    from xr.pipeline.geometry import MAX_FAN, clip_budget, clip_capacity
+    from xr.raster.pallas_stream import stream_blocks
     from xr.scene.presets import config1_cube
-    from xr.core import math3d as m3
 
     p = config1_cube()
     cfg = dataclasses.replace(
         p.config, backend="pallas_stream", clip_expand=50.0
     )
-    cam, mm = p.animate(0.0, np)
-    scene = p.scene.replace(model_matrices=mm)
-    view, proj = m3.camera_matrices(cam, cfg.width / cfg.height, np)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        geometry(scene, view, proj, cfg, np,
-                 capacity=clip_capacity(scene.mesh.num_triangles, cfg))
-    assert any("stream_entry_cap" in str(x.message) for x in w)
+    # unit-level: a 100x-inflated record capacity must not inflate sizing
+    num_src, cap = 1_000, 100_000
+    nb_inflated = stream_blocks(cfg, cap)  # capacity-only bound (legacy)
+    nb_bounded = stream_blocks(cfg, cap, num_src)
+    assert nb_bounded < nb_inflated / 5
+    # the bound is exactly the live-record ceiling, not the capacity
+    live_bound = num_src + clip_budget(num_src, cfg) * (MAX_FAN - 1)
+    assert live_bound < cap
+    assert nb_bounded == stream_blocks(cfg, live_bound)
+    # and the real preset regime still triggers the source-count bound
+    real_cap = clip_capacity(p.scene.mesh.num_triangles, cfg)
+    assert real_cap > 50 * p.scene.mesh.num_triangles
+    assert stream_blocks(cfg, real_cap, p.scene.mesh.num_triangles) <= (
+        stream_blocks(cfg, real_cap)
+    )
 
 
 def test_twolevel_fetch_bit_identical():
