@@ -128,7 +128,9 @@ class RenderConfig:
 
     # Streaming-kernel records per block. Smaller blocks waste less record-
     # gather padding (every tile pads to >= 1 block) but add grid steps;
-    # per-block SMEM window = 40 bytes * stream_block (x2 double-buffered).
+    # per-block SMEM window = 64-68 bytes * stream_block (12 int + 4-5 f32
+    # slots per record, x2 double-buffered). Must be a multiple of 8
+    # (pallas_stream.CHUNK_G) when z_earlyout is on.
     stream_block: int = 512
 
     # Absolute streaming-entry capacity override. 0 = derive from the

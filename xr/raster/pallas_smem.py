@@ -27,12 +27,12 @@ from xr.raster.jnp_backend import bin_triangles, grid_dims, _pad_to
 BG = rc.BG_TRI_ID
 
 
-NFIELDS = 17  # record width; see pack_tri_records
+NFIELDS = 18  # record width; see pack_tri_records
 _B16 = 32768  # bias packing signed 16-bit bbox coords into u16 halves
 
 
 def pack_tri_records(tri: TriBuf, yo):
-    """(C, 17) i32 PLANE-FORM records — the kernels' per-record scalar work
+    """(C, 18) i32 PLANE-FORM records — the kernels' per-record scalar work
     is the bottleneck (the scalar core issues ~1 op/cycle), so everything
     derivable per RECORD is precomputed here, vectorized, at C scale:
 
@@ -41,18 +41,25 @@ def pack_tri_records(tri: TriBuf, yo):
              int32 (c_k = e_k(0,0), |c_k| <= 2*span^2 by the fixedpoint
              bound; intermediate wraparound is modular-safe)
       9..11  z0 z1 z2 (f32 bits)
-      12     z_min = min(z0, z1, z2) DEFLATED by an 8-ulp margin (f32
+      12     inv_area = 1/area2 (f32 bits, 0 for degenerate) — the SAME
+             f32 value chain as fp.barycentrics_f32 (area2 = c0+c1+c2 =
+             e0+e1+e2 at every pixel, exactly), so the kernels never
+             divide: the broadcast reciprocal is one scalar load. Packing
+             it also removes the only Mosaic-vs-XLA float-op pairing in
+             the pipeline (the divide now happens once, in XLA, for every
+             backend).
+      13     z_min = min(z0, z1, z2) DEFLATED by an 8-ulp margin (f32
              bits) — occlusion early-out: a record whose nearest vertex is
              strictly behind every pixel of the tile's current z-buffer
              cannot win any (z, id) lex-min test, so the kernels skip its
              band loop entirely; the margin absorbs f32 interpolation
              rounding (zf can land a few ulps below the true vertex min),
-             keeping the early-out bit-exact. Adjacent to z so the stream
-             prep's f32 window is ONE contiguous slice.
-      13     triangle id
-      14     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
-      15     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
-      16     packed x bbox: (bx0+32768) | (bx1+32768) << 16
+             keeping the early-out bit-exact. Fields 9..13 are contiguous
+             so the stream prep's f32 window is ONE slice.
+      14     triangle id
+      15     top-left tie offsets o_k in bits 0..2 (accept iff e_k >= o_k)
+      16     packed y bbox: (by0+32768) | (by1+32768) << 16 (band-translated)
+      17     packed x bbox: (bx0+32768) | (bx1+32768) << 16
     """
     C = tri.capacity
     xs = tri.xs
@@ -82,6 +89,12 @@ def pack_tri_records(tri: TriBuf, yo):
 
     byp = bpack(ys.min(axis=1), ys.max(axis=1))
     bxp = bpack(xs.min(axis=1), xs.max(axis=1))
+    # Exactly fp.barycentrics_f32's reciprocal (area2 = e0+e1+e2 is the
+    # same int32 value at every pixel, = c0+c1+c2 here by sum(a)=sum(b)=0)
+    area2f = (cols[2] + cols[5] + cols[8]).astype(jnp.float32)
+    safe = jnp.where(area2f == 0.0, jnp.float32(1.0), area2f)
+    inva = jnp.where(area2f != 0.0, 1.0 / safe, 0.0).astype(jnp.float32)
+    invb = jax.lax.bitcast_convert_type(inva, jnp.int32)
     # Deflated occlusion bound (ADVICE r3): interpolated zf = sum of three
     # rounded f32 products can land a few ulps BELOW min(z0,z1,z2), so a
     # record with z_min one ulp above the tile's zmax could be skipped yet
@@ -96,7 +109,7 @@ def pack_tri_records(tri: TriBuf, yo):
         [jnp.stack(cols, axis=1), zbits]
         + [
             v.reshape(C, 1)
-            for v in (zminb, jnp.arange(C, dtype=jnp.int32), of, byp, bxp)
+            for v in (invb, zminb, jnp.arange(C, dtype=jnp.int32), of, byp, bxp)
         ],
         axis=1,
     )
@@ -115,9 +128,9 @@ def gather_field_records(lists, packed, C: int):
     safe = jnp.minimum(lists, C - 1)
     rows = packed[safe]
     empty = (lists >= C)[..., None]
-    rows = jnp.where(empty & (jnp.arange(NFIELDS) == 13), BG, rows)
+    rows = jnp.where(empty & (jnp.arange(NFIELDS) == 14), BG, rows)
     fields = [rows[..., k] for k in range(NFIELDS)]
-    for k in (9, 10, 11, 12):
+    for k in (9, 10, 11, 12, 13):
         fields[k] = jax.lax.bitcast_convert_type(fields[k], jnp.float32)
     return fields
 
@@ -125,22 +138,28 @@ def gather_field_records(lists, packed, C: int):
 def _raster_scalar_records(
     read, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota,
     *, th: int, tw: int, sub: int, depth_test: bool = True,
-    x_test: bool = False, zmax=None,
+    x_test: bool = False, zmax=None, band_zmax=None, strides=None,
+    chunk=None,
 ):
     """Triangle loop with scalar PLANE-FORM record reads (pack_tri_records
-    field map). `read(field, k)` -> scalar.
+    field map). `read(field, ci, cf)` -> scalar, where ci/cf are CURSORS:
+    the record index k for direct per-field arrays (strides=None), or
+    strength-reduced base offsets k*si / k*sf into packed int/f32 windows
+    (strides=(si, sf)) — the loop carries the cursors so the scalar core
+    never multiplies per field access (it is the kernel's bottleneck at
+    ~1 op/cycle, one loop iteration per record).
 
-    The scalar core is the kernel's bottleneck (~1 op/cycle, one loop
-    iteration per record), so per-record derivations (edge coefficients,
-    tie offsets, bbox min/max) arrive precomputed in the record and the
-    loop body is mostly loads. The tie rule is an integer threshold:
-    accept iff e_k >= o_k (o in {0,1}) — exact. area2 = c0+c1+c2 (the edge
-    functions sum to the doubled area everywhere), and its reciprocal is
-    ONE broadcast vector op per record (a scalar f32 divide serializes on
-    the scalar core: +14 ms/frame at 1M-tri scale).
+    Per-record derivations (edge coefficients, tie offsets, bbox min/max,
+    1/area2) arrive precomputed in the record and the loop body is mostly
+    loads. The tie rule is an integer threshold: accept iff e_k >= o_k
+    (o in {0,1}) — exact. The barycentric reciprocal is the packed
+    inv_area field broadcast to one vector (a scalar f32 divide serializes
+    on the scalar core: +14 ms/frame at 1M tris; the old in-kernel VECTOR
+    divide burned ~10 VPU ops per record — both retired by packing).
 
-    x_test: scalar tile-x bbox reject, for records not binned to this tile
-    (the global large bucket); binned records always overlap the tile.
+    x_test: whole-record tile bbox reject for records not binned to this
+    tile (the global large bucket) — two packed-bbox loads gate the other
+    ~14 field loads; binned records always overlap the tile.
 
     depth_test=False is PAINTER'S ORDER: the highest-id covered triangle
     wins (callers init tid to -1 and map -1 -> BG afterwards), exactly the
@@ -151,7 +170,19 @@ def _raster_scalar_records(
     zb only ever decreases, so a stale bound stays valid). A record with
     z_min > zmax has zf >= z_min > zmax >= zb at every pixel, so the
     strict (z, id) lex-min test cannot accept it and the whole band loop
-    is skipped behind one scalar compare. Only sound with depth_test."""
+    is skipped behind one scalar compare. Only sound with depth_test.
+
+    band_zmax: optional list of PER-BAND occlusion bounds (same soundness
+    argument per 8-row band): a surviving record skips the VECTOR work of
+    bands it cannot win. Requires zmax (z_min must be in scope).
+
+    chunk: optional (G, read_chunk_zmin) — records come in groups of G
+    with a precomputed aggregate min of their deflated z_min values
+    (read_chunk_zmin(kc) -> scalar). A chunk whose aggregate exceeds zmax
+    is skipped whole: ~4 scalar ops instead of G gate evaluations. Exact:
+    min(z_min) > zmax implies every member's z_min > zmax. Pays when
+    occluded records cluster (bin_zorder sorts them to the segment tail).
+    """
     half = sub // 2
     nbands = th // 8
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -159,52 +190,69 @@ def _raster_scalar_records(
     tile_px0 = tile_j * tw * sub + half
     tile_px1 = (tile_j * tw + tw - 1) * sub + half
     tile_py = tile_i * th * sub + half
+    tile_py1 = tile_py + (th - 1) * sub
+    si, sf = strides if strides is not None else (1, 1)
 
-    def tri_body(k, _):
+    def tri_gate(ci, cf):
+        # per-record z gate, then the bbox/record work
         if zmax is not None:
             assert depth_test, "z early-out requires depth testing"
+            zmin_r = read(13, ci, cf)
 
-            @pl.when(read(12, k) <= zmax)
+            @pl.when(zmin_r <= zmax)
             def _():
-                tri_work(k)
-            return 0
-        tri_work(k)
-        return 0
+                tri_pre(ci, cf, zmin_r)
+        else:
+            tri_pre(ci, cf, None)
 
-    def tri_work(k):
-        a0 = read(0, k)
-        b0 = read(1, k)
-        c0 = read(2, k)
-        a1 = read(3, k)
-        b1 = read(4, k)
-        c1 = read(5, k)
-        a2 = read(6, k)
-        b2 = read(7, k)
-        c2 = read(8, k)
-        z0 = read(9, k)
-        z1 = read(10, k)
-        z2 = read(11, k)
-        tri_id = read(13, k)
-        of = read(14, k)
-        byp = read(15, k)
+    def tri_pre(ci, cf, zmin_r):
+        if x_test:
+            # whole-record bbox reject BEFORE the other ~14 loads: the
+            # large bucket is scanned by every tile, and most records
+            # miss most tiles
+            bxp = read(17, ci, cf)
+            bx0 = (bxp & 0xFFFF) - _B16
+            bx1 = ((bxp >> 16) & 0xFFFF) - _B16
+            byp = read(16, ci, cf)
+            by0 = (byp & 0xFFFF) - _B16
+            by1 = ((byp >> 16) & 0xFFFF) - _B16
+            hit_tile = (
+                (bx1 >= tile_px0) & (bx0 <= tile_px1)
+                & (by1 >= tile_py) & (by0 <= tile_py1)
+            )
+
+            @pl.when(hit_tile)
+            def _():
+                tri_work(ci, cf, zmin_r, by0, by1)
+        elif nbands > 1:
+            byp = read(16, ci, cf)
+            by0 = (byp & 0xFFFF) - _B16
+            by1 = ((byp >> 16) & 0xFFFF) - _B16
+            tri_work(ci, cf, zmin_r, by0, by1)
+        else:
+            # single-band binned records always hit their band: no bbox
+            tri_work(ci, cf, zmin_r, None, None)
+
+    def tri_work(ci, cf, zmin_r, by0, by1):
+        a0 = read(0, ci, cf)
+        b0 = read(1, ci, cf)
+        c0 = read(2, ci, cf)
+        a1 = read(3, ci, cf)
+        b1 = read(4, ci, cf)
+        c1 = read(5, ci, cf)
+        a2 = read(6, ci, cf)
+        b2 = read(7, ci, cf)
+        c2 = read(8, ci, cf)
+        z0 = read(9, ci, cf)
+        z1 = read(10, ci, cf)
+        z2 = read(11, ci, cf)
+        inv = jnp.full((8, 128), read(12, ci, cf))
+        tri_id = read(14, ci, cf)
+        of = read(15, ci, cf)
 
         o0 = of & 1
         o1 = (of >> 1) & 1
         o2 = (of >> 2) & 1
-        by0 = (byp & 0xFFFF) - _B16
-        by1 = ((byp >> 16) & 0xFFFF) - _B16
-
-        area2 = (c0 + c1) + c2
-        area2v = jnp.full((8, 128), area2.astype(jnp.float32))
-        inv = jnp.where(area2v != 0.0, 1.0 / area2v, 0.0).astype(jnp.float32)
-
-        if x_test:
-            bxp = read(16, k)
-            bx0 = (bxp & 0xFFFF) - _B16
-            bx1 = ((bxp >> 16) & 0xFFFF) - _B16
-            x_overlap = (bx1 >= tile_px0) & (bx0 <= tile_px1)
-        else:
-            x_overlap = True
 
         def band(b):
             py = (sub_iota + tile_i * th + b * 8) * sub + half
@@ -229,11 +277,17 @@ def _raster_scalar_records(
                 zb_ref[b * 8 : b * 8 + 8, :] = jnp.where(better, zf, zb)
                 tid_ref[b * 8 : b * 8 + 8, :] = jnp.where(better, tri_id, tb)
 
-            band_py0 = tile_py + b * 8 * sub
-            band_py1 = band_py0 + 7 * sub
-            hit = x_overlap & (by1 >= band_py0) & (by0 <= band_py1)
-            if nbands == 1 and not x_test:
-                # binned records always hit their only band
+            hit = None
+            if nbands > 1:
+                # y-band overlap (the whole-record tile test already
+                # covered y when nbands == 1 under x_test)
+                band_py0 = tile_py + b * 8 * sub
+                band_py1 = band_py0 + 7 * sub
+                hit = (by1 >= band_py0) & (by0 <= band_py1)
+            if band_zmax is not None and zmin_r is not None:
+                zh = zmin_r <= band_zmax[b]
+                hit = zh if hit is None else (hit & zh)
+            if hit is None:
                 do_band()
             else:
                 @pl.when(hit)
@@ -242,9 +296,36 @@ def _raster_scalar_records(
 
         for b in range(nbands):
             band(b)
-        return 0
 
-    jax.lax.fori_loop(0, n, tri_body, 0)
+    zero = jnp.int32(0) * n  # loop-carried cursor init (traced i32)
+    if chunk is not None:
+        G, read_chunk_zmin = chunk
+        assert zmax is not None, "chunk gating requires the z early-out"
+
+        def ch_body(kc, _):
+            @pl.when(read_chunk_zmin(kc) <= zmax)
+            def _():
+                k0 = kc * G
+
+                def inner(_k, cur):
+                    ci, cf = cur
+                    tri_gate(ci, cf)
+                    return (ci + si, cf + sf)
+
+                jax.lax.fori_loop(
+                    0, jnp.minimum(n - k0, G), inner, (k0 * si, k0 * sf)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, (n + G - 1) // G, ch_body, 0)
+    else:
+
+        def tri_body(_k, cur):
+            ci, cf = cur
+            tri_gate(ci, cf)
+            return (ci + si, cf + sf)
+
+        jax.lax.fori_loop(0, n, tri_body, (zero, zero))
 
 
 def _vis_kernel(
@@ -267,13 +348,13 @@ def _vis_kernel(
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
     _raster_scalar_records(
-        lambda f, k: larges[f][k],
+        lambda f, ci, cf: larges[f][ci],
         lcount_ref[0],
         i, j, zb_ref, tid_ref, sub_iota,
         th=th, tw=tw, sub=sub, depth_test=depth_test, x_test=True,
     )
     _raster_scalar_records(
-        lambda f, k: smalls[f][0, 0, k],
+        lambda f, ci, cf: smalls[f][0, 0, ci],
         counts_ref[i * ntx + j],
         i, j, zb_ref, tid_ref, sub_iota,
         th=th, tw=tw, sub=sub, depth_test=depth_test,

@@ -74,14 +74,17 @@ def stream_blocks(config: RenderConfig, num_records: int, num_src: int = 0) -> i
     return cap // BLK + nty * ntx + 1
 
 
+CHUNK_G = 8  # records per chunk-level z-gate aggregate (z_earlyout only)
+
+
 def _vis_kernel(
     bt_ref,  # prefetch SMEM (NB,) block -> tile
     bbase_ref,  # prefetch SMEM (NB,) block -> first record offset in its tile
     counts_ref,  # prefetch SMEM (ntiles,)
     lcount_ref,  # prefetch SMEM (1,)
-    reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 13..15, record-major
-    recf_ref,  # SMEM (1, 1, BLK*nf32) — z0..z2 (+ z_min iff z_earlyout)
-    *lrefs_and_outs,  # NFIELDS large SMEM refs, then tid_ref, zb_ref (VMEM)
+    reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 14..16, record-major
+    recf_ref,  # SMEM (1, 1, BLK*nf32) — z0..z2, inv (+ z_min iff z_earlyout)
+    *rest,  # [chz_ref iff z_earlyout], NFIELDS large SMEM refs, outs
     th: int,
     tw: int,
     sub: int,
@@ -90,8 +93,10 @@ def _vis_kernel(
     depth_test: bool = True,
     z_earlyout: bool = False,
 ):
-    larges = lrefs_and_outs[:NFIELDS]
-    tid_ref, zb_ref = lrefs_and_outs[NFIELDS], lrefs_and_outs[NFIELDS + 1]
+    if z_earlyout:
+        chz_ref, rest = rest[0], rest[1:]
+    larges = rest[:NFIELDS]
+    tid_ref, zb_ref = rest[NFIELDS], rest[NFIELDS + 1]
     b = pl.program_id(0)
     t = bt_ref[b]
     i = t // ntx
@@ -106,7 +111,7 @@ def _vis_kernel(
         tid_ref[:] = jnp.full((th, tw), BG if depth_test else -1, jnp.int32)
         zb_ref[:] = jnp.full((th, tw), jnp.inf, jnp.float32)
         _raster_scalar_records(
-            lambda f, k: larges[f][k],
+            lambda f, ci, cf: larges[f][ci],
             lcount_ref[0],
             i, j, zb_ref, tid_ref, sub_iota,
             th=th, tw=tw, sub=sub, depth_test=depth_test, x_test=True,
@@ -114,32 +119,47 @@ def _vis_kernel(
 
     n_here = jnp.clip(counts_ref[t] - bbase_ref[b], 0, blk)
 
-    nf32 = 4 if z_earlyout else 3
+    nf32 = 5 if z_earlyout else 4
 
-    def read(f, k):
+    def read(f, ci, cf):
         # Mosaic has no scalar bitcast, so int and f32 fields arrive in
         # separate SMEM windows (split from ONE HBM gather on the XLA side);
-        # int fields 0..8 and 13..15 pack record-major into 12 slots.
-        # Field 16 (bxpacked) is NOT packed — binned records always overlap
+        # int fields 0..8 and 14..16 pack record-major into 12 slots.
+        # Field 17 (bxpacked) is NOT packed — binned records always overlap
         # their tile in x, so only the large-bucket path (full-field SMEM
-        # arrays) ever reads it. z_min (12) is packed only when the
-        # early-out is on.
-        assert f != 16, "bxpacked is not packed into the stream records"
-        if f in (9, 10, 11, 12):
-            assert f != 12 or z_earlyout
-            return recf_ref[0, 0, k * nf32 + (f - 9)]
-        slot = f if f < 9 else f - 4
-        return reci_ref[0, 0, k * 12 + slot]
+        # arrays) ever reads it. z_min (13) is packed only when the
+        # early-out is on. ci/cf are the loop-carried strength-reduced
+        # record base offsets (see _raster_scalar_records strides).
+        assert f != 17, "bxpacked is not packed into the stream records"
+        if f in (9, 10, 11, 12, 13):
+            assert f != 13 or z_earlyout
+            return recf_ref[0, 0, cf + (f - 9)]
+        slot = f if f < 9 else f - 5
+        return reci_ref[0, 0, ci + slot]
 
-    # Occlusion bound for the early-out (see _raster_scalar_records): an
-    # upper bound of the tile's current max z, recomputed once per BLOCK
-    # (zb only decreases, so staleness within a block stays conservative).
-    # The bound is +inf until every pixel of the tile is covered.
-    zmax = jnp.max(zb_ref[:]) if (depth_test and z_earlyout) else None
+    # Occlusion bounds for the early-out (see _raster_scalar_records):
+    # per-band upper bounds of the tile's current max z, recomputed once
+    # per BLOCK (zb only decreases, so staleness within a block stays
+    # conservative); their max is the whole-tile record/chunk gate. The
+    # bounds are +inf until every pixel of the band is covered.
+    if depth_test and z_earlyout:
+        nbands = th // 8
+        band_zmax = [
+            jnp.max(zb_ref[bb * 8 : bb * 8 + 8, :]) for bb in range(nbands)
+        ]
+        zmax = band_zmax[0]
+        for v in band_zmax[1:]:
+            zmax = jnp.maximum(zmax, v)
+        if nbands == 1:
+            band_zmax = None  # the record gate already covers the one band
+        chunk = (CHUNK_G, lambda kc: chz_ref[0, 0, kc])
+    else:
+        zmax = band_zmax = chunk = None
 
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
         th=th, tw=tw, sub=sub, depth_test=depth_test, zmax=zmax,
+        band_zmax=band_zmax, strides=(12, nf32), chunk=chunk,
     )
 
 
@@ -198,18 +218,30 @@ def visibility_binned(
     rows = jnp.where(
         (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 13), BG, rows
     )
-    # int fields 0..8 (edge planes) + 13..15 (id, oflags, bypacked),
-    # record-major, 12 slots; field 16 (bxpacked) is skipped — binned
+    # int fields 0..8 (edge planes) + 14..16 (id, oflags, bypacked),
+    # record-major, 12 slots; field 17 (bxpacked) is skipped — binned
     # records always overlap their tile in x
     rec_i = jnp.concatenate(
-        [rows[..., 0:9], rows[..., 13:16]], axis=-1
+        [rows[..., 0:9], rows[..., 14:17]], axis=-1
     ).reshape(NB, 1, BLK * 12)
-    # f32 fields: ONE contiguous slice — z0 z1 z2 (+ z_min under the
-    # early-out), record-major
-    nf32 = 4 if config.z_earlyout else 3
+    # f32 fields: ONE contiguous slice — z0 z1 z2 inv_area (+ z_min under
+    # the early-out), record-major
+    nf32 = 5 if config.z_earlyout else 4
     rec_f = jax.lax.bitcast_convert_type(
         rows[..., 9 : 9 + nf32], jnp.float32
     ).reshape(NB, 1, BLK * nf32)
+    # chunk-level z-gate aggregates: min of each CHUNK_G consecutive
+    # records' deflated z_min (empty slots ride +inf, so a partial tail
+    # chunk aggregates only its live members) — one scalar gates G records
+    if config.z_earlyout:
+        assert BLK % CHUNK_G == 0, "stream_block must be a CHUNK_G multiple"
+        zmin_e = jax.lax.bitcast_convert_type(rows[..., 13], jnp.float32)
+        zmin_e = jnp.where(seg_ok, zmin_e, jnp.inf)
+        chz = (
+            zmin_e.reshape(NB, BLK // CHUNK_G, CHUNK_G)
+            .min(axis=-1)
+            .reshape(NB, 1, BLK // CHUNK_G)
+        )
 
     # ---- large bucket (shared by all tiles) ------------------------------
     large = gather_field_records(b.large_ids, packed, C)
@@ -234,6 +266,17 @@ def visibility_binned(
                 memory_space=pltpu.SMEM,
             ),
         ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, 1, BLK // CHUNK_G),
+                    lambda bi, bt_ref, bb, cn, lc: (bi, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            ]
+            if config.z_earlyout
+            else []
+        )
         + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(NFIELDS)],
         out_specs=[
             pl.BlockSpec(
@@ -264,6 +307,7 @@ def visibility_binned(
         b.large_count.reshape(1),
         rec_i,
         rec_f,
+        *([chz] if config.z_earlyout else []),
         *large,
     )
 
