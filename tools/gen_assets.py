@@ -129,8 +129,11 @@ def main(outdir="assets/courtyard"):
             "map_Kd pavement.png\n\n"
             "newmtl brick\nKd 1.0 0.95 0.9\nKs 0.0 0.0 0.0\nNs 8\n"
             "map_Kd brick.png\n\n"
+            # marble clamps (map_Kd -clamp on) so the scene mixes texture
+            # address modes — exercises the per-material tex_addr select in
+            # shade_math.sample_trilinear on a loaded asset (VERDICT r4 #4b)
             "newmtl marble\nKd 0.95 0.95 1.0\nKs 0.35 0.35 0.35\nNs 64\n"
-            "map_Kd marble.png\n\n"
+            "map_Kd -clamp on marble.png\n\n"
             "newmtl crate\nKd 0.85 0.6 0.3\nKs 0.15 0.15 0.15\nNs 24\n"
         )
     write_obj(
