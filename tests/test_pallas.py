@@ -138,13 +138,20 @@ def test_pallas_painters_order_tpu():
 
 
 @pytest.mark.parametrize("preset_fn", [config1_cube, config2_icospheres])
-def test_pallas_stream_z_earlyout_interpret(preset_fn):
-    """The z-min occlusion early-out must never change results (it only
-    skips records that provably cannot win)."""
+@pytest.mark.parametrize(
+    "gates",
+    [{}, {"z_chunk_gate": True}, {"z_band_gate": True},
+     {"z_chunk_gate": True, "z_band_gate": True}],
+    ids=["plain", "chunk", "band", "chunk+band"],
+)
+def test_pallas_stream_z_earlyout_interpret(preset_fn, gates):
+    """The z-min occlusion early-out — and its optional chunk/band gate
+    refinements — must never change results (they only skip records that
+    provably cannot win)."""
     from xr.raster import pallas_stream as pst
 
     tri, cfg = _tri_and_cfg(preset_fn())
-    eo = dataclasses.replace(cfg, z_earlyout=True)
+    eo = dataclasses.replace(cfg, z_earlyout=True, **gates)
     t_j, z_j, _ = jb.visibility_binned(tri, cfg)
     t_p, z_p, of_p = pst.visibility_binned(tri, eo, interpret=True)
     assert int(of_p) == 0

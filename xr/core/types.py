@@ -269,6 +269,20 @@ class RenderConfig:
     # Pointless without z_earlyout; measure on device before defaulting.
     bin_zorder: bool = False
 
+    # Optional refinements of the z early-out (bit-identical; both need
+    # z_earlyout). Measured on device (PERF.md round 5): both ADD per-record
+    # scalar overhead that only pays when whole chunks/bands actually get
+    # skipped, and config5's terrain fly-through mostly doesn't — kernel
+    # ~32 -> 36.9 ms with both on — so they default off and stay selectable.
+    # z_chunk_gate: the stream prep aggregates min(z_min) per CHUNK_G
+    # consecutive records; the kernel gates whole chunks behind one compare
+    # (pays when occluded records cluster, e.g. with bin_zorder).
+    # z_band_gate: per-8-row-band zmax bounds let a surviving record skip
+    # the vector work of bands it cannot win (pays on deep scenes whose
+    # bands converge at different times).
+    z_chunk_gate: bool = False
+    z_band_gate: bool = False
+
     # Shadow mapping (MODE_PHONG only).
     shadow_map_size: int = 0  # 0 => no shadow pass
     shadow_bias: float = 2e-3
@@ -327,6 +341,9 @@ class RenderConfig:
             "tex_split applies to the wide quad fetch only"
         )
         assert self.mip_math in ("table", "closed")
+        assert not ((self.z_chunk_gate or self.z_band_gate) and not self.z_earlyout), (
+            "z_chunk_gate/z_band_gate refine the z early-out; set z_earlyout"
+        )
         assert self.corner_fetch in ("pertri", "percorner")
         if self.record_pack == "value":
             # value-packed record coords must be exact in f32: the geometry

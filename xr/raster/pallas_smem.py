@@ -139,7 +139,7 @@ def _raster_scalar_records(
     read, n, tile_i, tile_j, zb_ref, tid_ref, sub_iota,
     *, th: int, tw: int, sub: int, depth_test: bool = True,
     x_test: bool = False, zmax=None, band_zmax=None, strides=None,
-    chunk=None,
+    chunk=None, ymask: bool = False,
 ):
     """Triangle loop with scalar PLANE-FORM record reads (pack_tri_records
     field map). `read(field, ci, cf)` -> scalar, where ci/cf are CURSORS:
@@ -182,6 +182,14 @@ def _raster_scalar_records(
     is skipped whole: ~4 scalar ops instead of G gate evaluations. Exact:
     min(z_min) > zmax implies every member's z_min > zmax. Pays when
     occluded records cluster (bin_zorder sorts them to the segment tail).
+
+    ymask: field 16 carries a PRECOMPUTED per-entry y-band hit mask (bit b
+    set iff the record's y bbox overlaps 8-row band b of THIS tile — the
+    stream prep resolves it in XLA, vectorized at entries scale) instead
+    of the packed y bbox: the band test is one constant-mask AND + compare
+    instead of a bbox unpack (4 scalar ops) and two range compares per
+    band. Bit-exact — the mask encodes exactly the old by0/by1 overlap
+    test. Only meaningful for binned (non-x_test) records.
     """
     half = sub // 2
     nbands = th // 8
@@ -223,17 +231,21 @@ def _raster_scalar_records(
 
             @pl.when(hit_tile)
             def _():
-                tri_work(ci, cf, zmin_r, by0, by1)
+                tri_work(ci, cf, zmin_r, by0, by1, None)
         elif nbands > 1:
-            byp = read(16, ci, cf)
-            by0 = (byp & 0xFFFF) - _B16
-            by1 = ((byp >> 16) & 0xFFFF) - _B16
-            tri_work(ci, cf, zmin_r, by0, by1)
+            if ymask:
+                ym = read(16, ci, cf)
+                tri_work(ci, cf, zmin_r, None, None, ym)
+            else:
+                byp = read(16, ci, cf)
+                by0 = (byp & 0xFFFF) - _B16
+                by1 = ((byp >> 16) & 0xFFFF) - _B16
+                tri_work(ci, cf, zmin_r, by0, by1, None)
         else:
             # single-band binned records always hit their band: no bbox
-            tri_work(ci, cf, zmin_r, None, None)
+            tri_work(ci, cf, zmin_r, None, None, None)
 
-    def tri_work(ci, cf, zmin_r, by0, by1):
+    def tri_work(ci, cf, zmin_r, by0, by1, ym):
         a0 = read(0, ci, cf)
         b0 = read(1, ci, cf)
         c0 = read(2, ci, cf)
@@ -278,7 +290,10 @@ def _raster_scalar_records(
                 tid_ref[b * 8 : b * 8 + 8, :] = jnp.where(better, tri_id, tb)
 
             hit = None
-            if nbands > 1:
+            if nbands > 1 and ym is not None:
+                # precomputed band mask: one AND against a static constant
+                hit = (ym & (1 << b)) != 0
+            elif nbands > 1:
                 # y-band overlap (the whole-record tile test already
                 # covered y when nbands == 1 under x_test)
                 band_py0 = tile_py + b * 8 * sub

@@ -84,7 +84,7 @@ def _vis_kernel(
     lcount_ref,  # prefetch SMEM (1,)
     reci_ref,  # SMEM (1, 1, BLK*12) — int fields 0..8, 14..16, record-major
     recf_ref,  # SMEM (1, 1, BLK*nf32) — z0..z2, inv (+ z_min iff z_earlyout)
-    *rest,  # [chz_ref iff z_earlyout], NFIELDS large SMEM refs, outs
+    *rest,  # [chz_ref iff z_chunk_gate], NFIELDS large SMEM refs, outs
     th: int,
     tw: int,
     sub: int,
@@ -92,8 +92,10 @@ def _vis_kernel(
     blk: int,
     depth_test: bool = True,
     z_earlyout: bool = False,
+    z_chunk_gate: bool = False,
+    z_band_gate: bool = False,
 ):
-    if z_earlyout:
+    if z_chunk_gate:
         chz_ref, rest = rest[0], rest[1:]
     larges = rest[:NFIELDS]
     tid_ref, zb_ref = rest[NFIELDS], rest[NFIELDS + 1]
@@ -124,12 +126,18 @@ def _vis_kernel(
     def read(f, ci, cf):
         # Mosaic has no scalar bitcast, so int and f32 fields arrive in
         # separate SMEM windows (split from ONE HBM gather on the XLA side);
-        # int fields 0..8 and 14..16 pack record-major into 12 slots.
-        # Field 17 (bxpacked) is NOT packed — binned records always overlap
-        # their tile in x, so only the large-bucket path (full-field SMEM
-        # arrays) ever reads it. z_min (13) is packed only when the
-        # early-out is on. ci/cf are the loop-carried strength-reduced
-        # record base offsets (see _raster_scalar_records strides).
+        # int fields 0..8 and 14..16 pack record-major into 12 slots —
+        # EXCEPT that slot 11 (field 16) carries the PRECOMPUTED per-entry
+        # y-band hit mask instead of the packed y bbox (the prep resolves
+        # each entry's band overlaps in XLA, vectorized at entries scale,
+        # so the kernel's scalar core tests one bit per band instead of
+        # unpacking a bbox and comparing — see _raster_scalar_records
+        # ymask). Field 17 (bxpacked) is NOT packed — binned records always
+        # overlap their tile in x, so only the large-bucket path
+        # (full-field SMEM arrays) ever reads it. z_min (13) is packed only
+        # when the early-out is on. ci/cf are the loop-carried
+        # strength-reduced record base offsets (see _raster_scalar_records
+        # strides).
         assert f != 17, "bxpacked is not packed into the stream records"
         if f in (9, 10, 11, 12, 13):
             assert f != 13 or z_earlyout
@@ -137,29 +145,37 @@ def _vis_kernel(
         slot = f if f < 9 else f - 5
         return reci_ref[0, 0, ci + slot]
 
-    # Occlusion bounds for the early-out (see _raster_scalar_records):
-    # per-band upper bounds of the tile's current max z, recomputed once
-    # per BLOCK (zb only decreases, so staleness within a block stays
-    # conservative); their max is the whole-tile record/chunk gate. The
-    # bounds are +inf until every pixel of the band is covered.
+    # Occlusion bound for the early-out (see _raster_scalar_records): an
+    # upper bound of the tile's current max z, recomputed once per BLOCK
+    # (zb only decreases, so staleness within a block stays conservative);
+    # +inf until every pixel of the tile is covered. z_band_gate refines it
+    # to per-8-row-band bounds (their max is the record/chunk gate);
+    # z_chunk_gate additionally gates CHUNK_G-record groups on a
+    # prep-aggregated min — both off by default (PERF.md round 5: the
+    # extra per-record/chunk scalar ops cost more than the skipped work on
+    # the configs that use the early-out).
     if depth_test and z_earlyout:
-        nbands = th // 8
-        band_zmax = [
-            jnp.max(zb_ref[bb * 8 : bb * 8 + 8, :]) for bb in range(nbands)
-        ]
-        zmax = band_zmax[0]
-        for v in band_zmax[1:]:
-            zmax = jnp.maximum(zmax, v)
-        if nbands == 1:
-            band_zmax = None  # the record gate already covers the one band
-        chunk = (CHUNK_G, lambda kc: chz_ref[0, 0, kc])
+        if z_band_gate and th > 8:
+            nbands = th // 8
+            band_zmax = [
+                jnp.max(zb_ref[bb * 8 : bb * 8 + 8, :]) for bb in range(nbands)
+            ]
+            zmax = band_zmax[0]
+            for v in band_zmax[1:]:
+                zmax = jnp.maximum(zmax, v)
+        else:
+            band_zmax = None
+            zmax = jnp.max(zb_ref[:])
+        chunk = (
+            (CHUNK_G, lambda kc: chz_ref[0, 0, kc]) if z_chunk_gate else None
+        )
     else:
         zmax = band_zmax = chunk = None
 
     _raster_scalar_records(
         read, n_here, i, j, zb_ref, tid_ref, sub_iota,
         th=th, tw=tw, sub=sub, depth_test=depth_test, zmax=zmax,
-        band_zmax=band_zmax, strides=(12, nf32), chunk=chunk,
+        band_zmax=band_zmax, strides=(12, nf32), chunk=chunk, ymask=True,
     )
 
 
@@ -218,11 +234,24 @@ def visibility_binned(
     rows = jnp.where(
         (ids >= C)[..., None] & (jnp.arange(NFIELDS) == 13), BG, rows
     )
-    # int fields 0..8 (edge planes) + 14..16 (id, oflags, bypacked),
-    # record-major, 12 slots; field 17 (bxpacked) is skipped — binned
-    # records always overlap their tile in x
+    # int fields 0..8 (edge planes) + 14..15 (id, oflags) + the per-entry
+    # y-band hit MASK (replacing field 16's packed y bbox: band overlap is
+    # resolved HERE, vectorized at entries scale, so the kernel's scalar
+    # core — its bottleneck — tests one bit per band instead of unpacking
+    # a bbox and range-comparing). Record-major, 12 slots; field 17
+    # (bxpacked) is skipped — binned records always overlap their tile in x
+    byp_e = rows[..., 16]
+    by0 = (byp_e & 0xFFFF) - 32768
+    by1 = ((byp_e >> 16) & 0xFFFF) - 32768
+    half = sub // 2
+    band_py = ((bt // ntx) * TH * sub + half)[:, None]  # (NB, 1)
+    ymask = jnp.zeros_like(byp_e)
+    for bb in range(TH // 8):
+        p0 = band_py + bb * 8 * sub
+        p1 = p0 + 7 * sub
+        ymask = ymask | (((by1 >= p0) & (by0 <= p1)).astype(jnp.int32) << bb)
     rec_i = jnp.concatenate(
-        [rows[..., 0:9], rows[..., 14:17]], axis=-1
+        [rows[..., 0:9], rows[..., 14:16], ymask[..., None]], axis=-1
     ).reshape(NB, 1, BLK * 12)
     # f32 fields: ONE contiguous slice — z0 z1 z2 inv_area (+ z_min under
     # the early-out), record-major
@@ -233,7 +262,7 @@ def visibility_binned(
     # chunk-level z-gate aggregates: min of each CHUNK_G consecutive
     # records' deflated z_min (empty slots ride +inf, so a partial tail
     # chunk aggregates only its live members) — one scalar gates G records
-    if config.z_earlyout:
+    if config.z_chunk_gate:
         assert BLK % CHUNK_G == 0, "stream_block must be a CHUNK_G multiple"
         zmin_e = jax.lax.bitcast_convert_type(rows[..., 13], jnp.float32)
         zmin_e = jnp.where(seg_ok, zmin_e, jnp.inf)
@@ -249,6 +278,7 @@ def visibility_binned(
     kernel = functools.partial(
         _vis_kernel, th=TH, tw=TW, sub=sub, ntx=ntx, blk=BLK,
         depth_test=config.depth_test, z_earlyout=config.z_earlyout,
+        z_chunk_gate=config.z_chunk_gate, z_band_gate=config.z_band_gate,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -274,7 +304,7 @@ def visibility_binned(
                     memory_space=pltpu.SMEM,
                 )
             ]
-            if config.z_earlyout
+            if config.z_chunk_gate
             else []
         )
         + [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(NFIELDS)],
@@ -307,7 +337,7 @@ def visibility_binned(
         b.large_count.reshape(1),
         rec_i,
         rec_f,
-        *([chz] if config.z_earlyout else []),
+        *([chz] if config.z_chunk_gate else []),
         *large,
     )
 
