@@ -93,9 +93,16 @@ def main():
     print(f"# v5p extrapolation model (HBM ratio {HBM_RATIO:.3f}, "
           f"scalar ratio bracket {SCALAR_RATIOS})")
     for key, (name, bar) in CONFIGS.items():
-        path = os.path.join(DATA, f"trace_{key}_r4.txt")
-        if not os.path.exists(path):
+        # newest checked-in round wins (trace_<key>_r<N>.txt)
+        cands = sorted(
+            (p for p in os.listdir(DATA)
+             if re.fullmatch(rf"trace_{key}_r\d+\.txt", p)),
+            key=lambda p: int(re.search(r"_r(\d+)\.txt", p).group(1)),
+        )
+        if not cands:
             continue
+        path = os.path.join(DATA, cands[-1])
+        print(f"\n[{cands[-1]}]", end="")
         total, rows = parse_trace(path)
         scalar, memory, listed, preds = extrapolate(total, rows)
         lo, hi = preds[0][1], preds[-1][1]
@@ -111,7 +118,7 @@ def main():
             print(f"  vs {bar:.0f} fps bar: {verdict}")
     print(
         "\n# falsify: run `python bench.py` / tools/bench_all.py on a v5p "
-        "chip and compare; the traces above are frozen round-4 inputs "
+        "chip and compare; the traces above are frozen per-round inputs "
         "(tools/data/), independent of /tmp."
     )
     return 0
