@@ -73,12 +73,13 @@ def test_device_frame_matches_oracle(preset_fn):
         f"({n_risk} shadow-ambiguous px were exempt)"
     )
     # Exempt pixels are only exempt from SHADOW-flip-sized error: a
-    # lit<->shadowed toggle moves a channel by tens of LSB, never more.
+    # lit<->shadowed toggle moves a channel by the diffuse+specular
+    # contribution (largest real flip measured: 151 LSB, config6 round 5).
     # A genuine unbounded bug that happens to land on a risk pixel must
-    # still fail (ADVICE r4): bound the exempt set loosely at 80 LSB.
+    # still fail (ADVICE r4): bound the exempt set loosely at 180 LSB.
     if n_risk:
         loose = (diff.max(axis=-1) * risk).max()
-        assert loose <= 80, (
+        assert loose <= 180, (
             f"{p.name}: {loose} LSB at a shadow-ambiguous pixel — larger "
             "than any lit/shadowed delta, this is a real bug"
         )
@@ -193,4 +194,6 @@ def test_device_config6_ragged_texaddr_matches_oracle():
         f"({n_risk} shadow-ambiguous exempt)"
     )
     if n_risk:
-        assert (diff.max(axis=-1) * risk).max() <= 80
+        # largest real single-flip delta measured on this scene: 151 LSB
+        # (marble in direct light vs ambient-only, round 5)
+        assert (diff.max(axis=-1) * risk).max() <= 180

@@ -33,17 +33,22 @@ def shadow_flip_risk(
     scene: Scene,
     camera,
     config: RenderConfig,
-    eps_z: float = 1e-5,
+    eps_z: float = 5e-5,
     eps_tex: float = 5e-3,
 ):
     """(H, W) bool — pixels whose shadow-test outcome can flip under f32
     backend noise: compare margin |(z - bias) - d| < eps_z, OR the sample
     coordinate within eps_tex texels of a texel edge whose neighbor texel
     flips the compare. Returns all-False when the config has no shadow
-    pass. eps defaults: device z-noise ~3.6e-7 per triangle, amplified
-    through the world->light matmul/divide chain; 1e-5 gives ~30x slack.
-    Texel coords (magnitude ~shadow_map_size) carry ~1e-4-texel noise;
-    5e-3 gives ~50x.
+    pass. eps defaults: device z-noise is ~3.6e-7 per triangle, but the
+    G-buffer world-position reconstruction (attr/w interpolation) that
+    feeds the world->light matmul/divide chain amplifies it with scene
+    depth — a REAL backend flip was measured at margin 3.511e-5 on the
+    config6 courtyard at main-view depth 0.94 (round 5), so 1e-5 was too
+    tight; 5e-5 covers the measured worst case with 1.4x slack while
+    keeping exempt counts ~0.17% on that scene (caps in the device
+    tests). Texel coords (magnitude ~shadow_map_size) carry ~1e-4-texel
+    noise; 5e-3 gives ~50x.
     """
     H, W = config.height, config.width
     if config.mode != MODE_PHONG or config.shadow_map_size <= 0:
